@@ -1,0 +1,169 @@
+"""Batched JAX decoder for the AO-40 shortened RS(255,223) code.
+
+Re-design of the scalar decoder at FECDecoder.java:325-519 into fixed-shape,
+branchless array code so it jits and vmaps over codewords and frames:
+
+- syndromes as a GF(256) "matmul" (log-add-antilog gather + XOR reduction)
+- Berlekamp-Massey as a 32-step ``fori_loop`` with masked updates
+- Chien search fully vectorized over the 255 field points
+- Forney evaluation vectorized over the (up to 32) roots
+
+GF(256) elements are carried as int32; A0 (=255) marks log(0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .tables import A0, ALPHA_TO, FCR, INDEX_OF, IPRIM, NN, NROOTS, PRIM
+
+# Host-side numpy tables; jnp.asarray at use sites bakes them in at trace
+# time (no eager device arrays at import — see viterbi.py note).
+_ALPHA_NP = np.asarray(ALPHA_TO, dtype=np.int32)   # [256], entry 255 unused->0
+_INDEX_NP = np.asarray(INDEX_OF, dtype=np.int32)   # [256], log(0) = A0
+
+
+def _alpha(i):
+    return jnp.asarray(_ALPHA_NP)[i]
+
+
+def _index(i):
+    return jnp.asarray(_INDEX_NP)[i]
+
+# Syndrome power matrix: P[i, j] = ((FCR+i)*PRIM * (NN-1-j)) % 255 so that
+# s_i = XOR_j gfmul(data[j], alpha^P[i,j])  (Horner form at FECDecoder.java:336-347)
+_SYND_POW = np.asarray(
+    (np.outer((FCR + np.arange(NROOTS)) * PRIM, NN - 1 - np.arange(NN))) % 255,
+    dtype=np.int32,
+)
+
+
+def _gfmul_log(log_a: jnp.ndarray, log_b: jnp.ndarray) -> jnp.ndarray:
+    """alpha^log_a * alpha^log_b with A0 marking zero operands."""
+    zero = (log_a == A0) | (log_b == A0)
+    return jnp.where(zero, 0, _alpha((log_a + log_b) % 255))
+
+
+def syndromes(data: jnp.ndarray) -> jnp.ndarray:
+    """[..., 255] codeword bytes -> [..., 32] syndromes (poly form)."""
+    d = data.astype(jnp.int32)
+    log_d = _index(d)                                   # [..., 255]
+    prod = _gfmul_log(log_d[..., None, :], _SYND_POW)   # [..., 32, 255]
+    return lax.reduce(prod, jnp.int32(0), lax.bitwise_xor, (prod.ndim - 1,))
+
+
+def _berlekamp_massey(s_log: jnp.ndarray) -> jnp.ndarray:
+    """Error locator polynomial from syndromes (log form input).
+
+    s_log: [32] syndromes in log form. Returns lambda in poly form [33].
+    Mirrors FECDecoder.java:385-427 with no erasures.
+    """
+    lam0 = jnp.zeros(NROOTS + 1, jnp.int32).at[0].set(1)
+    b0 = jnp.full(NROOTS + 1, A0, jnp.int32).at[0].set(0)  # log form of lambda
+    idx = jnp.arange(NROOTS + 1)
+
+    def body(r, carry):
+        lam, b, el = carry
+        # discrepancy: XOR_{i<r} gfmul(lam[i], s[r-1-i])
+        s_idx = jnp.clip(r - 1 - idx, 0, NROOTS - 1)
+        terms = _gfmul_log(_index(lam), s_log[s_idx])
+        terms = jnp.where(idx < r, terms, 0)
+        discr = lax.reduce(terms, jnp.int32(0), lax.bitwise_xor, (0,))
+        discr_log = _index(discr)
+        no_update = discr_log == A0
+
+        # t(x) = lambda(x) - discr * x * b(x)
+        xb = jnp.concatenate([jnp.full((1,), A0, jnp.int32), b[:-1]])
+        t = lam ^ _gfmul_log(jnp.full_like(xb, discr_log), xb)
+
+        grow = (2 * el) <= (r - 1)
+        new_el = jnp.where(no_update, el, jnp.where(grow, r - el, el))
+        # b <- inv(discr)*lambda (log form) when growing, else x*b(x)
+        b_shift = jnp.concatenate([jnp.full((1,), A0, jnp.int32), b[:-1]])
+        b_scaled = jnp.where(lam == 0, A0, (_index(lam) - discr_log + NN) % 255)
+        new_b = jnp.where(no_update, b_shift, jnp.where(grow, b_scaled, b_shift))
+        new_lam = jnp.where(no_update, lam, t)
+        return new_lam, new_b, new_el
+
+    lam, _, _ = lax.fori_loop(1, NROOTS + 1, body, (lam0, b0, jnp.int32(0)))
+    return lam
+
+
+def _chien_forney(lam: jnp.ndarray, s_log: jnp.ndarray):
+    """Find error locations and values; returns (err_xor[255], count, fail)."""
+    lam_log = _index(lam)                             # [33]
+    j_idx = jnp.arange(NROOTS + 1)
+    present = lam_log != A0
+    deg_lambda = jnp.max(jnp.where(present, j_idx, 0))
+
+    # Chien: evaluate lambda at alpha^i for i = 1..255 (field point sweep)
+    i_idx = jnp.arange(1, NN + 1)[:, None]            # [255, 1]
+    ev = _gfmul_log(lam_log[None, :], (i_idx * j_idx[None, :]) % 255)
+    q = lax.reduce(ev, jnp.int32(0), lax.bitwise_xor, (1,))  # [255]
+    is_root = q == 0
+    count = jnp.sum(is_root.astype(jnp.int32))
+    # Java aborts the sweep once deg_lambda roots are found; a degree-d poly
+    # cannot have more than d roots, so the full sweep gives the same set.
+    fail = count != deg_lambda
+
+    # gather up to NROOTS roots into fixed slots (jit-safe sized nonzero)
+    (root_pos,) = jnp.nonzero(is_root, size=NROOTS, fill_value=-1)
+    valid = root_pos >= 0
+    roots = jnp.where(valid, root_pos + 1, 0).astype(jnp.int32)
+    locs = (IPRIM - 1 + (roots - 1) * IPRIM) % 255
+
+    # omega(x) = s(x) * lambda(x) mod x^NROOTS, in log form
+    i_o = jnp.arange(NROOTS)[:, None]
+    j_o = jnp.arange(NROOTS + 1)[None, :]
+    terms = _gfmul_log(s_log[jnp.clip(i_o - j_o, 0, NROOTS - 1)], lam_log)
+    terms = jnp.where(j_o <= i_o, terms, 0)
+    omega = lax.reduce(terms, jnp.int32(0), lax.bitwise_xor, (1,))   # [32] poly
+    omega_log = _index(omega)
+
+    # Forney: error value at each root
+    r = roots[:, None]                                            # [32, 1]
+    num_t = _gfmul_log(omega_log[None, :], (jnp.arange(NROOTS)[None, :] * r) % 255)
+    num1 = lax.reduce(num_t, jnp.int32(0), lax.bitwise_xor, (1,))  # [32]
+    num2 = _alpha((roots * (FCR - 1) + NN) % 255)
+    # formal derivative: odd coefficients of lambda
+    d_j = jnp.arange(0, NROOTS, 2)[None, :]                       # even i
+    den_t = _gfmul_log(lam_log[None, 1::2][:, : d_j.shape[1]], (d_j * r) % 255)
+    den = lax.reduce(den_t, jnp.int32(0), lax.bitwise_xor, (1,))  # [32]
+    den_fail = jnp.any(valid & (den == 0))
+
+    mag_log = (_index(num1) + _index(num2) + NN - _index(den)) % 255
+    mag = jnp.where(valid & (num1 != 0) & (den != 0), _alpha(mag_log), 0)
+
+    # invalid slots are redirected out of bounds and dropped by the scatter
+    err = jnp.zeros(NN, jnp.int32)
+    err = err.at[jnp.where(valid, locs, NN)].set(mag, mode="drop")
+    return err, count, fail | den_fail
+
+
+def decode_rs_codeword(data: jnp.ndarray):
+    """Decode one 255-byte codeword.
+
+    Returns (corrected[255] uint8, n_errors int32) with n_errors = -1 on
+    uncorrectable error, matching decode_rs_8 (FECDecoder.java:325-519).
+    """
+    s = syndromes(data)
+    clean = ~jnp.any(s != 0)
+    s_log = _index(s)
+    lam = _berlekamp_massey(s_log)
+    err, count, fail = _chien_forney(lam, s_log)
+    corrected = (data.astype(jnp.int32) ^ err).astype(jnp.uint8)
+    n_err = jnp.where(clean, 0, jnp.where(fail, -1, count))
+    corrected = jnp.where(clean | fail, data.astype(jnp.uint8), corrected)
+    return corrected, n_err
+
+
+@jax.jit
+def decode_rs(data: jnp.ndarray):
+    """Batched RS decode: [..., 255] -> (corrected [..., 255], n_errors [...])."""
+    fn = decode_rs_codeword
+    for _ in range(data.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(data)

@@ -1,0 +1,115 @@
+"""Batched soft-decision Viterbi decoder (k=7, r=1/2) for AO-40 frames.
+
+TPU-native re-design of the scalar decoder at FECDecoder.java:203-278:
+the 64-state add-compare-select is one vectorized butterfly per bit step
+inside ``lax.scan`` (64-wide VPU ops), decisions are stored as a
+[NBITS, 64] bool tensor, and the chain-back is a second (reverse) scan.
+Batching over frames is a plain ``vmap``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .tables import CPOLYA, CPOLYB, METTAB, NBITS, SYMS
+
+K_FLUSH = 6
+_N_STATES = 64
+
+# Symbol pairs for the two halves of each ACS butterfly:
+#  - even new state 2j comes from old states j (emits SYMS[2j]) and j+32
+#  - odd  new state 2j+1 swaps the branch symbols (FECDecoder.java:229-247)
+# Host-side numpy constants: converted with jnp.asarray at trace time so
+# they are baked into the executable (no eager device arrays at import,
+# which the axon TPU backend cannot read back during tracing).
+_SYM_A = np.asarray(SYMS[0:64:2], dtype=np.int32)   # [32]
+_SYM_B = np.asarray(SYMS[1:64:2], dtype=np.int32)   # [32]
+_METTAB = np.asarray(METTAB, dtype=np.int32)        # [2, 256]
+
+_INIT_METRIC = -999999
+
+
+def branch_metrics(symbols: jnp.ndarray) -> jnp.ndarray:
+    """Per-step branch metrics for the 4 symbol-pair hypotheses.
+
+    symbols: [2*NBITS] soft bytes (uint8 view of the demodulator's
+    0xc0/0x40 convention). Returns [NBITS, 4] int32 where column i is the
+    metric of hypothesis pair i = (bitA<<1 | bitB) (FECDecoder.java:219-225).
+    """
+    s = symbols.astype(jnp.int32).reshape(-1, 2)
+    m0 = jnp.asarray(_METTAB[0])
+    m1 = jnp.asarray(_METTAB[1])
+    a0 = m0[s[:, 0]]
+    a1 = m1[s[:, 0]]
+    b0 = m0[s[:, 1]]
+    b1 = m1[s[:, 1]]
+    return jnp.stack([a0 + b0, a0 + b1, a1 + b0, a1 + b1], axis=-1)
+
+
+def _acs_scan(mets: jnp.ndarray) -> jnp.ndarray:
+    """Run the forward add-compare-select over all bit steps.
+
+    mets: [NBITS, 4]. Returns decisions [NBITS, 64] bool.
+    """
+
+    def step(cmetric, met_t):
+        b1 = met_t[_SYM_A]            # [32] branch metric, shift-in-0 symbol
+        b2 = met_t[_SYM_B]            # [32] branch metric, shift-in-1 symbol
+        lo = cmetric[:32]
+        hi = cmetric[32:]
+        even_a = lo + b1
+        even_b = hi + b2
+        odd_a = lo + b2
+        odd_b = hi + b1
+        dec_even = even_b > even_a
+        dec_odd = odd_b > odd_a
+        even = jnp.maximum(even_a, even_b)
+        odd = jnp.maximum(odd_a, odd_b)
+        nmetric = jnp.stack([even, odd], axis=-1).reshape(-1)
+        decisions = jnp.stack([dec_even, dec_odd], axis=-1).reshape(-1)
+        return nmetric, decisions
+
+    init = jnp.full((_N_STATES,), _INIT_METRIC, dtype=jnp.int32).at[0].set(0)
+    _, decisions = lax.scan(step, init, mets)
+    return decisions
+
+
+def _traceback(decisions: jnp.ndarray) -> jnp.ndarray:
+    """Chain back from state 0 (FECDecoder.java:264-277).
+
+    decisions: [NBITS, 64] bool. Returns decoded bits [NBITS - K_FLUSH].
+    """
+
+    def step(state, dec_t):
+        dec = dec_t[state]
+        new_state = (state >> 1) | jnp.where(dec, jnp.int32(0x20), jnp.int32(0))
+        return new_state, dec.astype(jnp.uint8)
+
+    _, bits_rev = lax.scan(step, jnp.int32(0), decisions[K_FLUSH:], reverse=True)
+    return bits_rev
+
+
+def viterbi27_bits(symbols: jnp.ndarray) -> jnp.ndarray:
+    """Decode one frame of 2*NBITS soft symbols to NBITS-6 = 2560 bits."""
+    mets = branch_metrics(symbols)
+    decisions = _acs_scan(mets)
+    return _traceback(decisions)
+
+
+def bits_to_bytes(bits: jnp.ndarray) -> jnp.ndarray:
+    """Pack MSB-first bits (multiple of 8) into uint8 bytes."""
+    b = bits.reshape(*bits.shape[:-1], -1, 8).astype(jnp.uint8)
+    weights = (1 << jnp.arange(7, -1, -1)).astype(jnp.uint8)
+    return (b * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def viterbi27(symbols: jnp.ndarray) -> jnp.ndarray:
+    """Batched Viterbi decode: [..., 2*NBITS] soft bytes -> [..., 320] bytes."""
+    fn = viterbi27_bits
+    for _ in range(symbols.ndim - 1):
+        fn = jax.vmap(fn)
+    return bits_to_bytes(fn(symbols))

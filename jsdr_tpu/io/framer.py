@@ -1,0 +1,43 @@
+"""Block framing: slice a sample stream into fixed TPU-friendly blocks.
+
+The reference frames at 10 blocks/s (JavaAudio.java:58-59) because Swing
+needs display cadence; the TPU framework frames at whatever block size
+amortizes dispatch best (typically >= 1 s of samples) — block size is a
+throughput knob, not a latency contract. A compat helper gives the
+0.1 s cadence for display-parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BlockFramer:
+    """Accumulate arbitrary-size chunks, emit fixed-size blocks."""
+
+    def __init__(self, block_samples: int):
+        self.block = block_samples
+        self._buf = np.zeros(0, np.complex64)
+
+    def push(self, chunk: np.ndarray) -> Iterator[np.ndarray]:
+        self._buf = np.concatenate([self._buf, chunk.astype(np.complex64)])
+        while len(self._buf) >= self.block:
+            out, self._buf = self._buf[:self.block], self._buf[self.block:]
+            yield out
+
+    def flush(self, pad: bool = False) -> Optional[np.ndarray]:
+        """Remaining samples, zero-padded to a full block if ``pad``."""
+        if len(self._buf) == 0:
+            return None
+        out = self._buf
+        self._buf = np.zeros(0, np.complex64)
+        if pad and len(out) < self.block:
+            out = np.concatenate([out, np.zeros(self.block - len(out), np.complex64)])
+        return out
+
+
+def compat_block_len(rate: int) -> int:
+    """The reference's block size in samples: rate/10 (JavaAudio.java:58)."""
+    return rate // 10

@@ -1,0 +1,70 @@
+"""End-to-end telemetry: synthetic FUNcube downlink -> tuner -> decimate ->
+VCO/matched filter -> timing scan -> sync search -> AO-40 FEC decode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_init, bpsk_block
+from jsdr_tpu.fec.decoder import fec_decode
+from jsdr_tpu.io.sources import synth_bpsk_stream
+
+
+def _run_stream(sig, payloads, cfg, block):
+    sig = np.concatenate([sig, np.zeros((-len(sig)) % block, np.complex64)])
+    st = bpsk_init(cfg)
+    good = 0
+    total_hits = 0
+    for b in range(len(sig) // block):
+        out, st = bpsk_block(jnp.asarray(sig[b * block:(b + 1) * block]), cfg, st)
+        nh = int(out.n_hits)
+        total_hits += nh
+        if nh:
+            res = fec_decode(out.windows[:nh])
+            for i in range(nh):
+                if bool(res.ok[i]) and any(
+                        np.array_equal(np.asarray(res.payload[i]), p)
+                        for p in payloads):
+                    good += 1
+    return good, total_hits, st
+
+
+def test_clean_stream_decodes_all_frames(rng):
+    payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, carrier_offset=12000.0)
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    good, hits, st = _run_stream(sig, payloads, cfg, 96000)
+    assert good == 2
+    counters = np.asarray(st.counters)
+    assert counters[1] == counters[0] // 10          # decimation ratio
+    # one bit per 80 input samples while signal is present (energy-gated,
+    # so the zero-pad tail emits nothing)
+    assert counters[2] == pytest.approx(len(sig) // 80, abs=30)
+
+
+def test_noisy_stream_decodes(rng):
+    payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, noise_rms=0.5, seed=3)
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    good, _, _ = _run_stream(sig, payloads, cfg, 96000)
+    assert good == 2
+
+
+def test_block_size_invariance(rng):
+    """Chained state must make block size irrelevant to the decode result."""
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, preamble_bits=200)
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    g1, _, _ = _run_stream(sig, payloads, cfg, 96000)
+    g2, _, _ = _run_stream(sig, payloads, cfg, 48000)
+    g3, _, _ = _run_stream(sig, payloads, cfg, 240000)
+    assert g1 == g2 == g3 == 1
+
+
+def test_wrong_tuning_no_decode(rng):
+    """Tuned 3 kHz off, the decimation filter rejects the signal."""
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, preamble_bits=200)
+    cfg = BpskConfig(rate=96000, tuning=21000.0)
+    good, _, _ = _run_stream(sig, payloads, cfg, 96000)
+    assert good == 0

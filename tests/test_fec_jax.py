@@ -1,0 +1,76 @@
+"""JAX batched FEC kernels must match the numpy oracle bit-for-bit."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jsdr_tpu.fec import ref_numpy as ref
+from jsdr_tpu.fec import viterbi as jvit
+from jsdr_tpu.fec import rs as jrs
+from jsdr_tpu.fec import encode as jenc
+from jsdr_tpu.fec import decoder as jdec
+from jsdr_tpu.fec.tables import SYMPBLOCK
+
+
+def _frames(rng, n):
+    payloads = rng.integers(0, 256, (n, 256), dtype=np.uint8)
+    softs = np.stack([
+        ref.symbols_to_soft(ref.encode_fec40(p)) for p in payloads
+    ])
+    return payloads, softs
+
+
+def test_jax_encoder_matches_numpy(rng):
+    payloads = rng.integers(0, 256, (3, 256), dtype=np.uint8)
+    got = np.asarray(jenc.encode_fec40(jnp.asarray(payloads)))
+    want = np.stack([ref.encode_fec40(p) for p in payloads])
+    assert np.array_equal(got, want)
+
+
+def test_jax_viterbi_matches_numpy(rng):
+    payloads, softs = _frames(rng, 2)
+    syms = np.stack([ref.deinterleave(s) for s in softs])
+    # add soft noise so the metric path is exercised beyond hard values
+    syms = np.clip(syms.astype(np.int64) + rng.integers(-40, 41, syms.shape), 0, 255
+                   ).astype(np.uint8)
+    got = np.asarray(jvit.viterbi27(jnp.asarray(syms)))
+    want = np.stack([ref.viterbi27(s) for s in syms])
+    assert np.array_equal(got, want)
+
+
+def test_jax_rs_matches_numpy(rng):
+    payload = rng.integers(0, 256, 256, dtype=np.uint8)
+    cw = ref.descramble_demux(ref.viterbi27(
+        ref.deinterleave(ref.symbols_to_soft(ref.encode_fec40(payload)))))
+    cases = [cw[0].copy(), cw[1].copy()]
+    for nerr in (1, 8, 16, 17):
+        bad = cw[0].copy()
+        pos = 95 + rng.choice(160, nerr, replace=False)
+        bad[pos] ^= rng.integers(1, 256, nerr).astype(np.uint8)
+        cases.append(bad)
+    batch = np.stack(cases)
+    got_cw, got_n = jrs.decode_rs(jnp.asarray(batch))
+    for i, case in enumerate(cases):
+        want_cw, want_n = ref.decode_rs_8(case)
+        assert int(got_n[i]) == want_n, f"case {i}"
+        if want_n >= 0:
+            assert np.array_equal(np.asarray(got_cw[i]), want_cw), f"case {i}"
+
+
+def test_full_decode_parity(rng):
+    payloads, softs = _frames(rng, 2)
+    bad = softs.copy()
+    flips = rng.choice(SYMPBLOCK, 100, replace=False)
+    bad[0, flips] ^= 0x80
+    noise = rng.integers(0, 256, (1, SYMPBLOCK), dtype=np.uint8)
+    batch = np.concatenate([bad, noise])
+    res = jdec.fec_decode(jnp.asarray(batch))
+    for i in range(3):
+        want_payload, want_rc = ref.fec_decode(batch[i])
+        assert int(res.rc[i]) == want_rc, f"frame {i}"
+        if want_rc >= 0:
+            assert bool(res.ok[i])
+            assert np.array_equal(np.asarray(res.payload[i]), want_payload)
+        else:
+            assert not bool(res.ok[i])
+    assert int(res.rc[0]) == 100
+    assert int(res.rc[1]) == 0

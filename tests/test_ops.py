@@ -1,0 +1,115 @@
+"""DSP ops: FIR design/application parity, decimator alignment, NCO,
+spectrum formulas vs the reference's math."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jsdr_tpu.ops import fir, nco, spectrum, windows
+
+
+def test_bandpass_weights_match_reference_formula():
+    """demod.java:341-370 windowed-sinc + symmetric Hamming."""
+    rate, flo, fhi, ntaps = 96000.0, 500.0, 1500.0, 21
+    got = np.asarray(fir.bandpass_weights(ntaps, flo, fhi, rate))
+    ordr = ntaps - 1
+    want = np.zeros(ntaps)
+    for n in range(ntaps):
+        if n == ordr // 2:
+            want[n] = 2 * (fhi - flo) / rate
+        else:
+            m = n - ordr // 2
+            want[n] = (np.sin(2 * np.pi * fhi / rate * m) / (np.pi * m)
+                       - np.sin(2 * np.pi * flo / rate * m) / (np.pi * m))
+        want[n] *= 0.54 - 0.46 * np.cos(2 * np.pi * n / ordr)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_allpass_weights():
+    w = np.asarray(fir.bandpass_weights(21, None, None, 96000.0))
+    assert w[10] == 1.0 and np.count_nonzero(w) == 1
+
+
+def test_fir_streaming_equals_whole_block(rng):
+    x = rng.normal(size=257).astype(np.float32)
+    taps = fir.bandpass_weights(21, 500, 1500, 44100)
+    y_all = np.asarray(fir.fir_apply(jnp.asarray(x), taps))
+    y1, tail = fir.fir_apply_streaming(jnp.asarray(x[:100]), taps,
+                                       jnp.zeros(20, jnp.float32))
+    y2, _ = fir.fir_apply_streaming(jnp.asarray(x[100:]), taps, tail)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(y1), np.asarray(y2)]), y_all, atol=1e-5)
+
+
+def test_fir_fft_matches_direct(rng):
+    x = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64)
+    taps = fir.bandpass_weights(27, 0, 4800, 96000)
+    a = np.asarray(fir.fir_apply(jnp.asarray(x), taps))
+    b = np.asarray(fir.fir_apply_fft(jnp.asarray(x), taps))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_polyphase_decimate_matches_reference_loop(rng):
+    """Reference decimator semantics (FUNcubeBPSKDemod.java:470-492):
+    output k at input instant (k+1)*m-1, causal 27-tap dot."""
+    m, nt = 10, 27
+    x = (rng.normal(size=(2, 100)) + 1j * rng.normal(size=(2, 100))
+         ).astype(np.complex64)
+    taps = np.asarray(fir.bandpass_weights(nt, 0, 4800, 96000))
+    got, tail = fir.polyphase_decimate(jnp.asarray(x), jnp.asarray(taps), m,
+                                       gain=2.0)
+    xp = np.concatenate([np.zeros((2, nt - 1), np.complex64), x], axis=1)
+    want = np.zeros((2, 10), np.complex64)
+    for k in range(10):
+        t = (k + 1) * m - 1 + (nt - 1)
+        for a in range(nt):
+            want[:, k] += xp[:, t - a] * taps[a]
+    np.testing.assert_allclose(np.asarray(got), 2.0 * want, atol=1e-4)
+    # streaming tail continues the stream exactly
+    got2, _ = fir.polyphase_decimate(jnp.asarray(x), jnp.asarray(taps), m,
+                                     tail=jnp.asarray(tail), gain=2.0)
+    xp2 = np.concatenate([x[:, -nt + 1:], x], axis=1)
+    want2 = np.zeros((2, 10), np.complex64)
+    for k in range(10):
+        t = (k + 1) * m - 1 + (nt - 1)
+        for a in range(nt):
+            want2[:, k] += xp2[:, t - a] * taps[a]
+    np.testing.assert_allclose(np.asarray(got2), 2.0 * want2, atol=1e-4)
+
+
+def test_psd_formula_matches_reference():
+    """fft.java:197-207: psd = 10*log10((re^2+im^2)*(2/N)^2)."""
+    n = 256
+    x = np.asarray(
+        [np.exp(2j * np.pi * 32 * t / n) for t in range(n)], dtype=np.complex64)
+    res = spectrum.spectrum_block(jnp.asarray(x)[None], rate=9600.0,
+                                  window=False)
+    psd = np.asarray(res.psd[0])
+    # full-scale complex tone: |X[32]| = N, psd = 10*log10((N*2/N)^2) ~ 6.02
+    assert abs(psd[32] - 20 * np.log10(2.0)) < 1e-3
+    assert int(res.peak_freq[0]) == 32 * 9600 // 256
+
+
+def test_spectrum_negative_freq_mapping():
+    n = 256
+    x = np.asarray(
+        [np.exp(-2j * np.pi * 32 * t / n) for t in range(n)], dtype=np.complex64)
+    res = spectrum.spectrum_block(jnp.asarray(x)[None], rate=9600.0,
+                                  window=False)
+    assert int(res.peak_freq[0]) == (224 - 256) * 9600 // 256  # negative
+
+
+def test_hamming_window_convention():
+    w = np.asarray(windows.hamming(256))
+    assert abs(w[0] - 0.08) < 1e-6          # 0.54 - 0.46
+    # reference convention: period N (not N-1), fft.java:72-73
+    assert abs(w[128] - 1.0) < 1e-6
+
+
+def test_quantized_nco_table():
+    ph = jnp.asarray(np.linspace(0, 2 * np.pi, 100, endpoint=False))
+    c, s = nco.quantized_cos_sin(ph)
+    idx = (np.linspace(0, 2 * np.pi, 100, endpoint=False) * 256 / (2 * np.pi)
+           ).astype(int) % 256
+    np.testing.assert_allclose(np.asarray(c), np.cos(idx * 2 * np.pi / 256),
+                               atol=1e-6)
