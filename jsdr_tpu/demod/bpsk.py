@@ -41,6 +41,7 @@ from jax import lax
 
 from ..fec.tables import SYNC_VECTOR
 from ..ops.fir import fir_apply_streaming, polyphase_decimate
+from .fft_tuner import FftTunerState, fft_tuner_blocks, fft_tuner_init
 
 # Constants from FUNcubeBPSKDemod.java:26-92
 DOWN_SAMPLE_RATE = 9600
@@ -104,6 +105,8 @@ class BpskConfig(NamedTuple):
     rate: int = 96000          # input sample rate
     tuning: float = 12000.0    # manual-tune NCO Hz (static: retune recompiles)
     max_hits_per_block: int = 4
+    dofft: bool = False        # FFT auto-tune front-end (doBufferFFT path)
+    track_high: bool = False   # auto-tune searches the upper half-band
 
     @property
     def decim(self) -> int:
@@ -127,7 +130,8 @@ class BpskState(NamedTuple):
     mf_tail: jnp.ndarray    # [64] complex64 matched-filter history
     timing: TimingState
     ring: jnp.ndarray       # [5199] i8 last bits (+1/-1; 0 = unfilled)
-    counters: jnp.ndarray   # [4] i64-ish i32: raw, ds, bit, fec
+    counters: jnp.ndarray   # [4] i32: raw, ds, bit, fec(sync hits)
+    fft_tuner: "FftTunerState"  # auto-tune EMA state (dofft path)
 
 
 def bpsk_init(cfg: BpskConfig) -> BpskState:
@@ -146,6 +150,7 @@ def bpsk_init(cfg: BpskConfig) -> BpskState:
         ),
         ring=jnp.zeros(FEC_BITS - 1, jnp.int8),
         counters=jnp.zeros(4, jnp.int32),
+        fft_tuner=fft_tuner_init(),
     )
 
 
@@ -269,13 +274,23 @@ class BpskBlockOut(NamedTuple):
     energies: jnp.ndarray   # [2] f32: last (e1-smooth proxy e_out, max corr)
 
 
-@partial(jax.jit, static_argnames=("rate", "tuning", "max_hits"))
+@partial(jax.jit, static_argnames=("rate", "tuning", "max_hits", "dofft",
+                                   "track_high"))
 def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
-                max_hits: int) -> Tuple[BpskBlockOut, BpskState]:
+                max_hits: int, dofft: bool = False,
+                track_high: bool = False) -> Tuple[BpskBlockOut, BpskState]:
     m = rate // DOWN_SAMPLE_RATE
     t_len = iq.shape[-1]
     assert t_len % m == 0, "block must be a multiple of the decimation ratio"
-    mixed, tu_phase = _tuner_mix(iq, state.tu_phase, tuning, rate)
+    if dofft:
+        samples = rate // 10      # the reference's 0.1 s FFT cadence
+        assert t_len % samples == 0, "dofft needs whole 0.1 s sub-blocks"
+        mixed, _centres, ft_state = fft_tuner_blocks(
+            iq.reshape(-1, samples), state.fft_tuner, track_high)
+        tu_phase = state.tu_phase
+    else:
+        mixed, tu_phase = _tuner_mix(iq, state.tu_phase, tuning, rate)
+        ft_state = state.fft_tuner
     ds, ds_tail = polyphase_decimate(
         mixed, jnp.asarray(DS_FILTER.astype(np.float32)), m,
         tail=state.ds_tail, gain=HOWARD_FUDGE_FACTOR)
@@ -295,7 +310,7 @@ def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
         energies=jnp.stack([timing.e_out, jnp.max(hit_corr).astype(jnp.float32)]),
     )
     new_state = BpskState(tu_phase, ds_tail, vco_idx, mf_tail, timing,
-                          ring, counters)
+                          ring, counters, ft_state)
     return out, new_state
 
 
@@ -307,4 +322,22 @@ def bpsk_block(iq: jnp.ndarray, cfg: BpskConfig,
     (feed to jsdr_tpu.fec.decoder.fec_decode) and the carried state.
     """
     return _bpsk_block(iq, state, rate=cfg.rate, tuning=cfg.tuning,
-                       max_hits=cfg.max_hits_per_block)
+                       max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
+                       track_high=cfg.track_high)
+
+
+def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
+    """Stacked state for a batch of independent streams (the analog of N
+    FUNcubeBPSKDemod tabs, jsdr.java:479-483)."""
+    one = bpsk_init(cfg)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)).copy(), one)
+
+
+def bpsk_block_batch(iq: jnp.ndarray, cfg: BpskConfig,
+                     states: BpskState) -> Tuple[BpskBlockOut, BpskState]:
+    """vmapped telemetry chain over independent streams: [S, T] blocks."""
+    fn = partial(_bpsk_block, rate=cfg.rate, tuning=cfg.tuning,
+                 max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
+                 track_high=cfg.track_high)
+    return jax.vmap(fn)(iq, states)
