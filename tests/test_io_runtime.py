@@ -1,0 +1,143 @@
+"""IO (conversion, sources, framing, native lib), runtime services, and
+display reductions."""
+
+import numpy as np
+import pytest
+
+from jsdr_tpu.io import convert, framer, native, sources
+from jsdr_tpu.io.fcd import FCD
+from jsdr_tpu.runtime import Config, PubSub, StageTimers, save_state, load_state
+
+
+def test_s16_conversion_wrapping_dc(rng):
+    """Java `s += (short)corr` wraps at 16 bits (JavaAudio.java:281-289)."""
+    s = np.array([32767, -32768, -32768, 32767], dtype=np.int16)
+    out = convert.s16le_to_complex(s, channels=2, i_corr=1, q_corr=-1)
+    assert out[0].real == np.float32(-32768 / 32767)   # 32767+1 wraps
+    assert out[0].imag == np.float32(32767 / 32767)    # -32768-1 wraps
+    assert out[1].real == np.float32(-32767 / 32767)   # -32768+1, no wrap
+    assert out[1].imag == np.float32(32766 / 32767)    # 32767-1, no wrap
+
+
+def test_native_matches_numpy(rng):
+    if not native.available():
+        pytest.skip("native lib not built")
+    s = rng.integers(-32768, 32768, 4096, dtype=np.int16)
+    a = native.s16le_to_complex_native(s, 2, 7, -9)
+    native._lib, saved = None, native._lib
+    try:
+        b = convert.s16le_to_complex(s, 2, 7, -9)
+    finally:
+        native._lib = saved
+    assert np.array_equal(a, b)
+
+
+def test_mono_maps_q_zero():
+    s = np.array([100, -100], dtype=np.int16)
+    out = convert.s16le_to_complex(s, channels=1)
+    assert np.all(out.imag == 0) and out[0].real > 0
+
+
+def test_roundtrip_s16(rng):
+    iq = (rng.uniform(-1, 1, 64) + 1j * rng.uniform(-1, 1, 64)).astype(np.complex64)
+    back = convert.s16le_to_complex(np.frombuffer(
+        convert.complex_to_s16le(iq), dtype="<i2"))
+    assert np.max(np.abs(back - iq)) < 1e-4
+
+
+def test_file_source_raw_and_wav(tmp_path, rng):
+    iq = sources.synth_sine(4410, 441.0, 44100.0, analytic=False)
+    raw = tmp_path / "t.raw"
+    raw.write_bytes(convert.complex_to_s16le(iq))
+    src = sources.FileSource(raw, rate=44100)
+    got = src.all()
+    assert got.shape == iq.shape
+    # loop semantics: blocks() wraps at EOF
+    blocks = src.blocks(4000)
+    b0 = next(blocks)
+    assert len(b0) == 4000
+
+
+def test_reference_wav_fixture():
+    src = sources.FileSource("/root/reference/sine4410.wav")
+    assert src.rate == 44100 and src.channels == 2
+    iq = src.all()
+    spec = np.fft.fft(iq[:4410])
+    peak = np.argmax(np.abs(spec))
+    freq = peak if peak < 2205 else peak - 4410
+    assert abs(abs(freq) - 441) < 3   # 4410 Hz in a 0.1 s block = bin 441
+
+
+def test_block_framer():
+    f = framer.BlockFramer(100)
+    out = list(f.push(np.zeros(250, np.complex64)))
+    assert len(out) == 2
+    out += list(f.push(np.zeros(60, np.complex64)))
+    assert len(out) == 3
+    rem = f.flush(pad=True)
+    assert rem is not None and len(rem) == 100
+
+
+def test_config_roundtrip(tmp_path):
+    p = tmp_path / "jsdr.properties"
+    c = Config(p, overrides=["audio-rate=192000"])
+    assert c.get_int("audio-rate", 96000) == 192000
+    assert c.get_int("missing", 7) == 7      # default write-back
+    c.save()
+    c2 = Config(p)
+    assert c2.get_int("missing", 0) == 7
+    # stale version discarded
+    p.write_text("jsdr-tpu-version=999\naudio-rate=1\n")
+    c3 = Config(p)
+    assert c3.get_int("audio-rate", 96000) == 96000
+
+
+def test_pubsub_fanout():
+    ps = PubSub()
+    seen = []
+    ps.listen(lambda t, v: seen.append((t, v)))
+    ps.publish("fft-psd", 1)
+    assert ps.get("fft-psd") == 1 and seen == [("fft-psd", 1)]
+
+
+def test_stage_timers():
+    t = StageTimers()
+    with t.stage("convert", samples=1000):
+        pass
+    rep = t.report()
+    assert rep["convert"]["calls"] == 1 and rep["convert"]["samples"] == 1000
+
+
+def test_state_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_init
+    st = bpsk_init(BpskConfig())
+    st = st._replace(tu_phase=jnp.float32(1.25),
+                     ring=st.ring.at[0].set(1))
+    f = tmp_path / "st.npz"
+    save_state(f, st)
+    st2 = load_state(f, bpsk_init(BpskConfig()))
+    assert float(st2.tu_phase) == 1.25
+    assert int(st2.ring[0]) == 1
+
+
+def test_fcd_degrades_without_binary():
+    fcd = FCD(binary=None)
+    assert not fcd.available()
+    assert fcd.default_rate() == 96000
+
+
+def test_display_reductions(rng):
+    from jsdr_tpu.display import Waterfall, phase_scope_data, render_psd_ascii
+    psd = rng.uniform(-100, -10, 1024)
+    wf = Waterfall(width=256, height=8)
+    wf.push(psd)
+    assert wf.buf[0].max() > 0
+    top = wf.buf[0].copy()
+    wf.push(psd * 0)
+    assert np.array_equal(wf.buf[1], top)   # scrolled down
+    iq = sources.synth_sine(4410, 441.0, 44100.0)
+    ps = phase_scope_data(iq, width=64)
+    assert ps.points.shape == (64, 2) and 0.4 < ps.max_abs < 0.6
+    art = render_psd_ascii(psd, width=64, height=10)
+    assert len(art.splitlines()) == 10
