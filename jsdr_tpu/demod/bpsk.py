@@ -13,11 +13,16 @@ chain is split by data dependence:
        8-entry table indexed by a carried counter
     4. 65-tap root-raised-cosine matched filter (:57-77, 518-523)
 
-  sequential (lax.scan at 9600 Hz, tiny state, vmappable over streams):
-    5. bit-energy timing recovery + differential bit decisions (:505-595).
-       The reference's double-precision bit-phase accumulator wraps at
-       exactly 8 samples forever (verified numerically), so bit phase is
-       an integer counter here.
+  timing recovery (:505-595) — parallel by default:
+    5. bit-energy timing + differential bit decisions. The reference's
+       double-precision bit-phase accumulator wraps at exactly 8 samples
+       forever (verified numerically), so bit phase is a pure counter and
+       samples group into bit periods; ``_timing_parallel`` then computes
+       the whole recurrence with associative scans (log depth — see its
+       docstring). ``compat_scan=True`` selects the per-sample
+       ``lax.scan`` (``_timing_scan``) whose fp evaluation order matches
+       the reference exactly; both produce identical bits on real
+       signals (tested).
 
   batched again:
     6. bit compaction, stride-80 sync correlation against the 65-symbol
@@ -107,6 +112,8 @@ class BpskConfig(NamedTuple):
     max_hits_per_block: int = 4
     dofft: bool = False        # FFT auto-tune front-end (doBufferFFT path)
     track_high: bool = False   # auto-tune searches the upper half-band
+    compat_scan: bool = False  # per-sample lax.scan timing (exact-order
+                               # fp parity) instead of the parallel path
 
     @property
     def decim(self) -> int:
@@ -217,6 +224,93 @@ def _timing_scan(mf: jnp.ndarray, ts: TimingState):
     return valid, bit, di, e2, new_ts
 
 
+def _timing_parallel(mf: jnp.ndarray, ts: TimingState):
+    """Fully parallel timing recovery — same decisions as ``_timing_scan``
+    without a per-sample recurrence.
+
+    TPU-native reformulation of FUNcubeBPSKDemod.java:505-595. Key facts:
+
+    - the bit-phase counter is exactly periodic-8 (see module docstring),
+      so samples group into bit periods [G, 8] with in-group position p;
+    - each energy-EMA lane is updated exactly once per group, so the 8
+      EMAs are independent first-order affine recurrences over groups —
+      an ``associative_scan`` (log depth), not a serial scan;
+    - within a group, at most two emissions occur: at p = peak0 (if
+      peak0 <= h, h = (peak0+4)%8, since the half-bit handoff at h
+      happens after the emission check at the same sample) and at
+      p = np0 (if np0 > h), where np0 is the argmax published at the end
+      of the previous group. peak0(g) = np0(g-1) and np0(g) = A(g-1)
+      with A(g) = argmax of the EMAs after group g — all computable in
+      parallel once the EMA trajectories are known;
+    - the differential decision needs the previous emission's matched
+      filter value: a "last-valid" propagation, also associative.
+
+    Returns (valid [2G], bit [2G], di [2G], e2 [2G], new state); the
+    two emission slots per group are ordered (p_slot0 <= h < p_slot1).
+    """
+    k_len = mf.shape[-1]
+    assert k_len % SAMPLES_PER_BIT == 0
+    g = k_len // SAMPLES_PER_BIT
+    fi = mf.real.astype(jnp.float32).reshape(g, SAMPLES_PER_BIT)
+    fq = mf.imag.astype(jnp.float32).reshape(g, SAMPLES_PER_BIT)
+    e1 = fi * fi + fq * fq
+
+    # lane EMAs over groups: y_g = a*y_{g-1} + b_g, prefix-composed
+    a_full = jnp.full_like(e1, 1.0 - BIT_SMOOTH1)
+    b_full = e1 * BIT_SMOOTH1
+
+    def affine(x, y):
+        return (x[0] * y[0], x[1] * y[0] + y[1])
+
+    pa, pb = lax.associative_scan(affine, (a_full, b_full), axis=0)
+    e_ema_traj = pa * ts.e_ema[None, :] + pb          # [G, 8] after group g
+    a_of_g = jnp.argmax(e_ema_traj, axis=1).astype(jnp.int32)  # first max
+
+    np0 = jnp.concatenate([ts.new_peak[None], a_of_g[:-1]])
+    peak0 = jnp.concatenate([ts.peak[None], np0[:-1]])
+    h = (peak0 + 4) % 8
+
+    slot_p = jnp.stack([peak0, np0], axis=-1)                  # [G, 2]
+    slot_on = jnp.stack([peak0 <= h, np0 > h], axis=-1)        # [G, 2]
+    gi = jnp.arange(g)[:, None]
+    vi = fi[gi, slot_p].reshape(-1)                            # [2G]
+    vq = fq[gi, slot_p].reshape(-1)
+    on = slot_on.reshape(-1)
+
+    # previous-valid propagation (exclusive) seeded by the carried dmLastIQ
+    def keep_last(x, y):
+        return tuple(jnp.where(y[2], yy, xx) for xx, yy in zip(x, y))
+
+    li, lq_, lh = lax.associative_scan(
+        keep_last, (vi, vq, on), axis=0)
+    prev_i = jnp.concatenate([ts.last_iq[0][None],
+                              jnp.where(lh[:-1], li[:-1], ts.last_iq[0])])
+    prev_q = jnp.concatenate([ts.last_iq[1][None],
+                              jnp.where(lh[:-1], lq_[:-1], ts.last_iq[1])])
+
+    di = -(prev_i * vi + prev_q * vq)
+    dq = prev_i * vq - prev_q * vi
+    e2 = jnp.sqrt(di * di + dq * dq)
+    valid = on & (e2 > ENERGY_GATE)
+    bit = di < 0.0
+
+    # e_out EMA only at emissions (display diagnostic), same affine trick
+    e1_slots = e1[gi, slot_p].reshape(-1)
+    ea = jnp.where(on, 1.0 - BIT_SMOOTH2, 1.0)
+    eb = jnp.where(on, e1_slots * BIT_SMOOTH2, 0.0)
+    qa, qb = lax.associative_scan(affine, (ea, eb), axis=0)
+    e_out = qa[-1] * ts.e_out + qb[-1]
+
+    new_last = jnp.stack([
+        jnp.where(lh[-1], li[-1], ts.last_iq[0]),
+        jnp.where(lh[-1], lq_[-1], ts.last_iq[1])])
+    new_ts = TimingState(
+        e_ema=e_ema_traj[-1], pos=ts.pos, peak=np0[-1],
+        new_peak=a_of_g[-1], e_out=e_out.astype(jnp.float32),
+        last_iq=new_last)
+    return valid, bit, di, e2, new_ts
+
+
 def _compact_bits(valid: jnp.ndarray, bit: jnp.ndarray, max_bits: int):
     """Scatter valid +-1 bits into a fixed [max_bits] buffer, in order."""
     slot = jnp.cumsum(valid.astype(jnp.int32)) - 1
@@ -275,10 +369,10 @@ class BpskBlockOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("rate", "tuning", "max_hits", "dofft",
-                                   "track_high"))
+                                   "track_high", "compat_scan"))
 def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
-                max_hits: int, dofft: bool = False,
-                track_high: bool = False) -> Tuple[BpskBlockOut, BpskState]:
+                max_hits: int, dofft: bool = False, track_high: bool = False,
+                compat_scan: bool = False) -> Tuple[BpskBlockOut, BpskState]:
     m = rate // DOWN_SAMPLE_RATE
     t_len = iq.shape[-1]
     assert t_len % m == 0, "block must be a multiple of the decimation ratio"
@@ -297,7 +391,10 @@ def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
     bb, vco_idx = _vco_mix(ds, state.vco_idx)
     mf, mf_tail = fir_apply_streaming(
         bb, jnp.asarray(DM_FILTER.astype(np.float32)), state.mf_tail)
-    valid, bit, di, e2, timing = _timing_scan(mf, state.timing)
+    if compat_scan:
+        valid, bit, di, e2, timing = _timing_scan(mf, state.timing)
+    else:
+        valid, bit, di, e2, timing = _timing_parallel(mf, state.timing)
     max_bits = 2 * (ds.shape[-1] // SAMPLES_PER_BIT) + 2
     bits, n_bits = _compact_bits(valid, bit, max_bits)
     windows, hit_corr, n_hits, ring = soft_frames_from_bits(
@@ -323,7 +420,8 @@ def bpsk_block(iq: jnp.ndarray, cfg: BpskConfig,
     """
     return _bpsk_block(iq, state, rate=cfg.rate, tuning=cfg.tuning,
                        max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
-                       track_high=cfg.track_high)
+                       track_high=cfg.track_high,
+                       compat_scan=cfg.compat_scan)
 
 
 def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
@@ -339,5 +437,5 @@ def bpsk_block_batch(iq: jnp.ndarray, cfg: BpskConfig,
     """vmapped telemetry chain over independent streams: [S, T] blocks."""
     fn = partial(_bpsk_block, rate=cfg.rate, tuning=cfg.tuning,
                  max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
-                 track_high=cfg.track_high)
+                 track_high=cfg.track_high, compat_scan=cfg.compat_scan)
     return jax.vmap(fn)(iq, states)

@@ -132,17 +132,24 @@ def polyphase_decimate(x: jnp.ndarray, taps: jnp.ndarray, m: int,
     if tail is None:
         tail = jnp.zeros((*x.shape[:-1], ntaps - 1), x.dtype)
     xp = jnp.concatenate([tail, x], axis=-1)
-    n_out = t_len // m
-    # output k is taken at input instant t_k = (k+1)*m - 1; its window in
-    # the padded array is [t_k, t_k + ntaps), oldest sample first
-    starts = jnp.arange(n_out) * m + (m - 1)
-    offs = jnp.arange(ntaps)
-    idx = starts[:, None] + offs[None, :]            # [n_out, ntaps]
-    wins = xp[..., idx]                              # [..., n_out, ntaps]
-    w = taps[::-1].astype(jnp.result_type(x.dtype, taps.dtype))
+    # output k is taken at input instant t_k = (k+1)*m - 1; in the padded
+    # array its window starts at t_k + (m-1) relative to index m-1, i.e. a
+    # stride-m VALID convolution beginning at padded offset m-1
+    xs = xp[..., m - 1:]
+    lead = xs.shape[:-1]
+    w = taps[::-1].reshape(1, 1, ntaps).astype(
+        jnp.float32 if jnp.iscomplexobj(x) else x.dtype)
+
+    def conv1(z):
+        zr = z.reshape(-1, 1, z.shape[-1])
+        y = lax.conv_general_dilated(
+            zr, w, window_strides=(m,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        return y.reshape(*lead, -1)
+
     if jnp.iscomplexobj(x):
-        y = (wins.real @ w + 1j * (wins.imag @ w)).astype(x.dtype)
+        y = (conv1(xs.real) + 1j * conv1(xs.imag)).astype(x.dtype)
     else:
-        y = wins @ w
+        y = conv1(xs)
     new_tail = xp[..., t_len:]
     return y * gain, new_tail

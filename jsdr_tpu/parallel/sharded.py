@@ -14,12 +14,12 @@ That halo rides the ICI ring via one ``ppermute`` per step — the
 TPU-native replacement for the reference's circular delay buffers
 (FUNcubeBPSKDemod.java:467-468, 495-496).
 
-The 9600 Hz bit-timing recovery is an inherently sequential per-stream
-scan; its input is 10x decimated, so each dp row ``all_gather``s the
-matched-filter output along sp (cheap) and runs the scan on the full
-segment. sp ranks compute identical scan results — redundant FLOPs on a
-tiny recurrence in exchange for zero pipeline-fill latency; a
-state-handoff pipeline over sp is the planned optimization.
+The 9600 Hz bit-timing recovery (``_timing_parallel``) needs the whole
+segment's decimated stream; it is 10x decimated, so each dp row
+``all_gather``s the matched-filter output along sp (cheap) and runs the
+(log-depth, fully parallel) recovery on the full segment. sp ranks
+compute identical results — redundant FLOPs on a small computation in
+exchange for zero cross-shard serialization.
 
 This module processes one contiguous stream segment with zero prehistory
 (stream start). Cross-segment state chaining composes at the host level
@@ -106,7 +106,7 @@ def _telemetry_local(iq_loc, *, rate, tuning, n_sp, max_hits):
 
     def per_stream(mf_1d):
         ts = B.bpsk_init(B.BpskConfig(rate=rate, tuning=tuning)).timing
-        valid, bit, di, e2, _ = B._timing_scan(mf_1d, ts)
+        valid, bit, di, e2, _ = B._timing_parallel(mf_1d, ts)
         max_bits = 2 * (mf_1d.shape[-1] // B.SAMPLES_PER_BIT) + 2
         bits, n_bits = B._compact_bits(valid, bit, max_bits)
         ring = jnp.zeros(B.FEC_BITS - 1, jnp.int8)

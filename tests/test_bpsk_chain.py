@@ -68,3 +68,25 @@ def test_wrong_tuning_no_decode(rng):
     cfg = BpskConfig(rate=96000, tuning=21000.0)
     good, _, _ = _run_stream(sig, payloads, cfg, 96000)
     assert good == 0
+
+
+def test_parallel_timing_equals_scan(rng):
+    """The associative-scan timing recovery must produce bit-for-bit the
+    same stream as the per-sample scan (compat mode)."""
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, noise_rms=0.4, seed=8)
+    block = 96000
+    sig = np.concatenate([sig, np.zeros((-len(sig)) % block, np.complex64)])
+    cfg_a = BpskConfig(rate=96000, tuning=12000.0, compat_scan=True)
+    cfg_b = BpskConfig(rate=96000, tuning=12000.0, compat_scan=False)
+    st_a, st_b = bpsk_init(cfg_a), bpsk_init(cfg_b)
+    for b in range(len(sig) // block):
+        blk = jnp.asarray(sig[b * block:(b + 1) * block])
+        oa, st_a = bpsk_block(blk, cfg_a, st_a)
+        ob, st_b = bpsk_block(blk, cfg_b, st_b)
+        na, nb = int(oa.n_bits), int(ob.n_bits)
+        assert na == nb
+        assert np.array_equal(np.asarray(oa.bits)[:na], np.asarray(ob.bits)[:nb])
+        assert int(oa.n_hits) == int(ob.n_hits)
+    assert int(st_a.timing.peak) == int(st_b.timing.peak)
+    assert int(st_a.timing.new_peak) == int(st_b.timing.new_peak)
