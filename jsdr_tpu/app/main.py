@@ -99,6 +99,12 @@ def cmd_telemetry(args):
     cfg = BpskConfig(rate=rate, tuning=args.tuning, dofft=args.fft_tune,
                      track_high=args.track_high)
     st = bpsk_init(cfg)
+    if args.resume and args.checkpoint:
+        from pathlib import Path
+        from ..runtime.state import load_state
+        if Path(args.checkpoint).exists():
+            st = load_state(args.checkpoint, st)
+            print(f"resumed stream state from {args.checkpoint}")
     block = rate
     iq = np.concatenate([iq, np.zeros((-len(iq)) % block, np.complex64)])
     frames = 0
@@ -119,9 +125,39 @@ def cmd_telemetry(args):
             for off in range(0, 256, 16):
                 row = " ".join(f"{v:02x}" for v in payload[off:off + 16])
                 print(f"  {off:3d}: {row}")
+    if args.checkpoint:
+        from ..runtime.state import save_state
+        save_state(args.checkpoint, st)
+        print(f"stream state -> {args.checkpoint}")
     c = np.asarray(st.counters)
     print(f"counters: raw={c[0]} ds={c[1]} bits={c[2]} syncs={c[3]} "
           f"frames={frames}")
+
+
+def cmd_synth(args):
+    """Generate test fixtures (the fir.java testbench roles: noise, sine,
+    NCO-mixed carriers, and full BPSK telemetry bursts)."""
+    from ..io.convert import complex_to_s16le
+    from ..io.sources import synth_bpsk_stream, synth_noise, synth_sine
+    rate = args.rate
+    if args.kind == "sine":
+        iq = synth_sine(rate * args.seconds, args.freq, rate,
+                        amplitude=args.amplitude, analytic=not args.real)
+    elif args.kind == "noise":
+        iq = synth_noise(rate * args.seconds, args.amplitude, args.seed)
+    else:  # telemetry
+        rng = np.random.default_rng(args.seed)
+        n_frames = max(1, int(args.seconds / 4.4))
+        payloads = rng.integers(0, 256, (n_frames, 256), dtype=np.uint8)
+        iq = synth_bpsk_stream(payloads, rate=rate,
+                               carrier_offset=args.freq,
+                               amplitude=args.amplitude,
+                               noise_rms=args.noise)
+        np.save(args.out + ".payloads.npy", payloads)
+        print(f"{n_frames} frame payloads -> {args.out}.payloads.npy")
+    with open(args.out, "wb") as fh:
+        fh.write(complex_to_s16le(iq))
+    print(f"{len(iq)} samples ({len(iq)/rate:.2f}s) -> {args.out}")
 
 
 def cmd_record(args):
@@ -168,7 +204,22 @@ def main(argv=None):
     tl.add_argument("--tuning", type=float, default=12000.0)
     tl.add_argument("--fft-tune", action="store_true")
     tl.add_argument("--track-high", action="store_true")
+    tl.add_argument("--checkpoint", help="save stream state pytree here")
+    tl.add_argument("--resume", action="store_true",
+                    help="resume stream state from --checkpoint")
     tl.set_defaults(fn=cmd_telemetry)
+
+    sy = sub.add_parser("synth", help="generate test fixtures")
+    sy.add_argument("kind", choices=["sine", "noise", "telemetry"])
+    sy.add_argument("--freq", type=float, default=12000.0,
+                    help="sine freq / telemetry carrier offset")
+    sy.add_argument("--amplitude", type=float, default=0.5)
+    sy.add_argument("--noise", type=float, default=0.0)
+    sy.add_argument("--real", action="store_true",
+                    help="real tone in I with Q=0 (sine4410 style)")
+    sy.add_argument("--seed", type=int, default=0)
+    sy.add_argument("--out", default="synth.raw")
+    sy.set_defaults(fn=cmd_synth)
 
     rc = sub.add_parser("record", help="write source as raw S16LE IQ")
     rc.add_argument("source")

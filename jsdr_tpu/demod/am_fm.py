@@ -60,10 +60,11 @@ class AmFmState(NamedTuple):
 
     @staticmethod
     def init(cfg: AmFmConfig) -> "AmFmState":
+        # numpy leaves: converted at jit call time (see bpsk_init note)
         return AmFmState(
-            fir_tail=jnp.zeros(cfg.ntaps - 1, jnp.complex64),
-            car=jnp.zeros((), jnp.float32),
-            last_iq=jnp.zeros(2, jnp.float32),
+            fir_tail=np.zeros(cfg.ntaps - 1, np.complex64),
+            car=np.zeros((), np.float32),
+            last_iq=np.zeros(2, np.float32),
         )
 
 
@@ -126,7 +127,7 @@ def demod_block(iq: jnp.ndarray, cfg: AmFmConfig,
     ramp = np.mod(np.arange(n, dtype=np.float64) * phi, TWO_PI).astype(np.float32)
     delta = np.float32(np.mod(n * phi, TWO_PI))
     return _demod_block(
-        iq, taps, ramp, delta, jnp.float32(fmgain), state,
+        iq, taps, ramp, delta, np.float32(fmgain), state,
         mode=int(cfg.mode), dofir=cfg.dofir, dodwn=cfg.dodwn, doagc=cfg.doagc,
     )
 

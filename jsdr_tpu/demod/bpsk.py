@@ -142,21 +142,23 @@ class BpskState(NamedTuple):
 
 
 def bpsk_init(cfg: BpskConfig) -> BpskState:
+    # host-side numpy leaves: converted at jit call time (the tunneled
+    # TPU backend rejects eagerly created rank-0 device arrays)
     return BpskState(
-        tu_phase=jnp.zeros((), jnp.float32),
-        ds_tail=jnp.zeros(len(DS_FILTER) - 1, jnp.complex64),
-        vco_idx=jnp.zeros((), jnp.int32),
-        mf_tail=jnp.zeros(len(DM_FILTER) - 1, jnp.complex64),
+        tu_phase=np.zeros((), np.float32),
+        ds_tail=np.zeros(len(DS_FILTER) - 1, np.complex64),
+        vco_idx=np.zeros((), np.int32),
+        mf_tail=np.zeros(len(DM_FILTER) - 1, np.complex64),
         timing=TimingState(
-            e_ema=jnp.zeros(SAMPLES_PER_BIT, jnp.float32),
-            pos=jnp.zeros((), jnp.int32),
-            peak=jnp.zeros((), jnp.int32),
-            new_peak=jnp.zeros((), jnp.int32),
-            e_out=jnp.ones((), jnp.float32),
-            last_iq=jnp.zeros(2, jnp.float32),
+            e_ema=np.zeros(SAMPLES_PER_BIT, np.float32),
+            pos=np.zeros((), np.int32),
+            peak=np.zeros((), np.int32),
+            new_peak=np.zeros((), np.int32),
+            e_out=np.ones((), np.float32),
+            last_iq=np.zeros(2, np.float32),
         ),
-        ring=jnp.zeros(FEC_BITS - 1, jnp.int8),
-        counters=jnp.zeros(4, jnp.int32),
+        ring=np.zeros(FEC_BITS - 1, np.int8),
+        counters=np.zeros(4, np.int32),
         fft_tuner=fft_tuner_init(),
     )
 
@@ -429,7 +431,7 @@ def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
     FUNcubeBPSKDemod tabs, jsdr.java:479-483)."""
     one = bpsk_init(cfg)
     return jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)).copy(), one)
+        lambda x: np.broadcast_to(x, (n_streams, *x.shape)).copy(), one)
 
 
 def bpsk_block_batch(iq: jnp.ndarray, cfg: BpskConfig,

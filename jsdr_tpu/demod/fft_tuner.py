@@ -40,9 +40,9 @@ class FftTunerState(NamedTuple):
 
 def fft_tuner_init() -> FftTunerState:
     return FftTunerState(
-        ave_peak_power=jnp.zeros((), jnp.float32),
-        ave_centre_bin=jnp.zeros((), jnp.float32),
-        centre_bin=jnp.zeros((), jnp.int32),
+        ave_peak_power=np.zeros((), np.float32),
+        ave_centre_bin=np.zeros((), np.float32),
+        centre_bin=np.zeros((), np.int32),
     )
 
 

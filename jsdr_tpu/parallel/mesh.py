@@ -27,5 +27,25 @@ def make_mesh(dp: Optional[int] = None, sp: Optional[int] = None,
         dp = n // sp
     elif sp is None:
         sp = n // dp
-    assert dp * sp == n, f"mesh {dp}x{sp} != {n} devices"
-    return Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
+    assert dp * sp <= n, f"mesh {dp}x{sp} needs more than {n} devices"
+    return Mesh(np.array(devs[: dp * sp]).reshape(dp, sp), ("dp", "sp"))
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX (DCN across hosts, ICI within a slice).
+
+    Call once per host before building meshes; after this,
+    ``jax.devices()`` spans the whole pod slice and ``make_mesh`` lays
+    dp/sp over it (keep sp within a host/slice so halos ride ICI).
+    No-op when already initialized or single-host.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process

@@ -1,0 +1,170 @@
+"""Streaming executor — the framework's main loop (the analog of the
+reference's capture thread + handler fan-out, JavaAudio.java:195-329).
+
+Composes: source -> host conversion -> block framing -> device pipeline
+(spectrum and/or demod chains) -> taps (pub/sub observability) -> sinks,
+with per-stage wall/sample timers and optional periodic state
+checkpointing. All carried DSP state lives in explicit pytrees, so a
+session can be stopped and resumed exactly.
+
+Double-buffered dispatch: while the device crunches block N, the host
+converts/frames block N+1 (jax's async dispatch gives this for free —
+we simply avoid blocking on results until the next block is submitted).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+from .log import Logger, StageTimers
+from .pubsub import PubSub
+from .state import load_state, save_state
+
+
+@dataclass
+class Session:
+    """One streaming processing session."""
+
+    source: Iterator[np.ndarray]          # yields complex64 chunks
+    block_samples: int
+    pubsub: PubSub = field(default_factory=PubSub)
+    logger: Logger = field(default_factory=Logger)
+    timers: StageTimers = field(default_factory=StageTimers)
+    checkpoint_path: Optional[Path] = None
+    checkpoint_every_blocks: int = 0
+
+    def run(self, stages: list["Stage"], max_blocks: Optional[int] = None):
+        """Drive blocks through the stages until the source ends."""
+        import jax
+        import jax.numpy as jnp
+        from ..io.framer import BlockFramer
+
+        framer = BlockFramer(self.block_samples)
+        n = 0
+        pending = None   # (stage outputs of previous block) — async overlap
+        for chunk in self.source:
+            for block in framer.push(chunk):
+                with self.timers.stage("h2d", samples=len(block)):
+                    dev = jnp.asarray(block)
+                for stage in stages:
+                    with self.timers.stage(stage.name, samples=len(block)):
+                        try:
+                            stage.process(dev, self)
+                        except Exception as e:  # noqa: BLE001
+                            # transient device faults (the tunneled backend
+                            # can error mid-stream): retry once, then skip
+                            # the block for this stage and keep streaming
+                            self.logger.alert(
+                                f"stage {stage.name} failed: {e!r:.120}; retrying")
+                            try:
+                                stage.process(dev, self)
+                            except Exception as e2:  # noqa: BLE001
+                                self.logger.alert(
+                                    f"stage {stage.name} failed twice; "
+                                    f"skipping block {n}: {e2!r:.120}")
+                self.pubsub.publish("audio-frame", n)
+                n += 1
+                if (self.checkpoint_path and self.checkpoint_every_blocks
+                        and n % self.checkpoint_every_blocks == 0):
+                    self.save_checkpoint(stages)
+                if max_blocks is not None and n >= max_blocks:
+                    return n
+        return n
+
+    def save_checkpoint(self, stages: list["Stage"]):
+        state = {s.name: s.state for s in stages if s.state is not None}
+        if state and self.checkpoint_path:
+            save_state(self.checkpoint_path, state)
+            self.logger.log(f"checkpoint -> {self.checkpoint_path}")
+
+    def load_checkpoint(self, stages: list["Stage"]):
+        if self.checkpoint_path and Path(self.checkpoint_path).exists():
+            like = {s.name: s.state for s in stages if s.state is not None}
+            loaded = load_state(self.checkpoint_path, like)
+            for s in stages:
+                if s.state is not None and s.name in loaded:
+                    s.state = loaded[s.name]
+            self.logger.status(f"resumed from {self.checkpoint_path}")
+
+
+class Stage:
+    """A pipeline stage with carried device state (subclass or wrap)."""
+
+    name = "stage"
+    state: Any = None
+
+    def process(self, block, session: Session):
+        raise NotImplementedError
+
+
+class SpectrumStage(Stage):
+    """fft.java analog: PSD per sub-block, published as 'fft-psd'."""
+
+    name = "spectrum"
+
+    def __init__(self, rate: int, fft_n: Optional[int] = None,
+                 window: bool = True):
+        self.rate = rate
+        self.fft_n = fft_n or rate // 10
+        self.window = window
+
+    def process(self, block, session: Session):
+        import numpy as np
+        from ..ops.spectrum import spectrum_block
+        n = (block.shape[-1] // self.fft_n) * self.fft_n
+        res = spectrum_block(block[:n].reshape(-1, self.fft_n),
+                             rate=float(self.rate), window=self.window)
+        session.pubsub.publish("fft-psd", np.asarray(res.psd))
+        session.pubsub.publish("fft-peak",
+                               (int(res.peak_freq[-1]), float(res.peak_db[-1])))
+
+
+class TelemetryStage(Stage):
+    """FUNcubeBPSKDemod + FECDecoder analog; publishes decoded frames."""
+
+    name = "telemetry"
+
+    def __init__(self, cfg):
+        from ..demod.bpsk import bpsk_init
+        self.cfg = cfg
+        self.state = bpsk_init(cfg)
+
+    def process(self, block, session: Session):
+        import numpy as np
+        from ..demod.bpsk import bpsk_block
+        from ..fec.decoder import fec_decode
+        out, self.state = bpsk_block(block, self.cfg, self.state)
+        n_hits = int(out.n_hits)
+        session.pubsub.publish("bpsk-tune", self.cfg.tuning)
+        if n_hits:
+            res = fec_decode(out.windows[:n_hits])
+            for i in range(n_hits):
+                frame = {
+                    "ok": bool(res.ok[i]),
+                    "corr": int(out.hit_corr[i]),
+                    "channel_errors": int(res.rc[i]),
+                    "payload": np.asarray(res.payload[i]),
+                }
+                session.pubsub.publish("telemetry-frame", frame)
+
+
+class DemodStage(Stage):
+    """demod.java analog; publishes float audio blocks."""
+
+    name = "demod"
+
+    def __init__(self, cfg):
+        from ..demod.am_fm import AmFmState
+        self.cfg = cfg
+        self.state = AmFmState.init(cfg)
+
+    def process(self, block, session: Session):
+        import numpy as np
+        from ..demod.am_fm import demod_block
+        audio, mx, avg, self.state = demod_block(block, self.cfg, self.state)
+        session.pubsub.publish("audio-out", np.asarray(audio))

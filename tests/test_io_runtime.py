@@ -141,3 +141,30 @@ def test_display_reductions(rng):
     assert ps.points.shape == (64, 2) and 0.4 < ps.max_abs < 0.6
     art = render_psd_ascii(psd, width=64, height=10)
     assert len(art.splitlines()) == 10
+
+
+def test_streaming_executor_session(rng):
+    from jsdr_tpu.demod.bpsk import BpskConfig
+    from jsdr_tpu.io.sources import synth_bpsk_stream
+    from jsdr_tpu.runtime.executor import Session, SpectrumStage, TelemetryStage
+
+    payload = np.arange(256, dtype=np.uint8)[None]
+    sig = synth_bpsk_stream(payload, rate=96000, preamble_bits=300)
+    sig = np.concatenate([sig, np.zeros((-len(sig)) % 96000, np.complex64)])
+
+    def chunks():
+        for i in range(0, len(sig), 48000):
+            yield sig[i:i + 48000]
+
+    frames, psds = [], []
+    s = Session(source=chunks(), block_samples=96000)
+    s.pubsub.listen(lambda t, v: frames.append(v) if t == "telemetry-frame"
+                    else psds.append(v) if t == "fft-psd" else None)
+    n = s.run([SpectrumStage(96000),
+               TelemetryStage(BpskConfig(rate=96000, tuning=12000.0))])
+    assert n == len(sig) // 96000
+    assert len(psds) == n
+    assert len(frames) == 1 and frames[0]["ok"]
+    assert np.array_equal(frames[0]["payload"], payload[0])
+    rep = s.timers.report()
+    assert rep["telemetry"]["samples"] == n * 96000
