@@ -112,8 +112,9 @@ def test_state_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_init
     st = bpsk_init(BpskConfig())
-    st = st._replace(tu_phase=jnp.float32(1.25),
-                     ring=st.ring.at[0].set(1))
+    ring = np.asarray(st.ring).copy()
+    ring[0] = 1
+    st = st._replace(tu_phase=np.float32(1.25), ring=ring)
     f = tmp_path / "st.npz"
     save_state(f, st)
     st2 = load_state(f, bpsk_init(BpskConfig()))
