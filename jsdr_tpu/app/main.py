@@ -96,7 +96,17 @@ def cmd_telemetry(args):
     from ..fec.decoder import fec_decode
 
     iq, rate = _load_iq(args, args.rate)
-    cfg = BpskConfig(rate=rate, tuning=args.tuning, dofft=args.fft_tune,
+    tunings = [float(t) for t in str(args.tuning).split(",")]
+    if len(tunings) > 1:
+        # N demodulator instances on the same stream — the analog of the
+        # jsdr-funcube-demods tabs (jsdr.java:479-484)
+        for t in tunings:
+            print(f"=== FUNcube demod @ {t:.0f} Hz ===")
+            sub_args = argparse.Namespace(**vars(args))
+            sub_args.tuning = t
+            cmd_telemetry(sub_args)
+        return
+    cfg = BpskConfig(rate=rate, tuning=tunings[0], dofft=args.fft_tune,
                      track_high=args.track_high)
     st = bpsk_init(cfg)
     if args.resume and args.checkpoint:
@@ -201,7 +211,8 @@ def main(argv=None):
 
     tl = sub.add_parser("telemetry", help="FUNcube BPSK + AO-40 FEC")
     tl.add_argument("source")
-    tl.add_argument("--tuning", type=float, default=12000.0)
+    tl.add_argument("--tuning", default="12000",
+                    help="NCO Hz; comma list runs N demod instances")
     tl.add_argument("--fft-tune", action="store_true")
     tl.add_argument("--track-high", action="store_true")
     tl.add_argument("--checkpoint", help="save stream state pytree here")

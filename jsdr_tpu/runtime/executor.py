@@ -103,25 +103,49 @@ class Stage:
 
 
 class SpectrumStage(Stage):
-    """fft.java analog: PSD per sub-block, published as 'fft-psd'."""
+    """fft.java analog: PSD per sub-block, published as 'fft-psd'.
+
+    With ``waterfall_width`` set (must divide fft_n), the fused Pallas
+    kernel additionally emits ready-to-render 8-bit waterfall lines
+    ('waterfall-line' topic) without shipping full PSDs to the host.
+    """
 
     name = "spectrum"
 
     def __init__(self, rate: int, fft_n: Optional[int] = None,
-                 window: bool = True):
+                 window: bool = True, waterfall_width: Optional[int] = None,
+                 use_pallas: Optional[bool] = None):
+        import jax
         self.rate = rate
         self.fft_n = fft_n or rate // 10
         self.window = window
+        self.waterfall_width = waterfall_width
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+        self.use_pallas = use_pallas
 
     def process(self, block, session: Session):
         import numpy as np
+        import jax.numpy as jnp
         from ..ops.spectrum import spectrum_block
         n = (block.shape[-1] // self.fft_n) * self.fft_n
-        res = spectrum_block(block[:n].reshape(-1, self.fft_n),
-                             rate=float(self.rate), window=self.window)
-        session.pubsub.publish("fft-psd", np.asarray(res.psd))
-        session.pubsub.publish("fft-peak",
-                               (int(res.peak_freq[-1]), float(res.peak_db[-1])))
+        blocks = block[:n].reshape(-1, self.fft_n)
+        if self.waterfall_width:
+            from ..ops.pallas_kernels import psd_waterfall
+            from ..ops.windows import hamming
+            x = blocks * hamming(self.fft_n) if self.window else blocks
+            spec = jnp.fft.fft(x)
+            db, lines = psd_waterfall(spec, width=self.waterfall_width,
+                                      use_pallas=self.use_pallas)
+            session.pubsub.publish("waterfall-line", np.asarray(lines))
+            session.pubsub.publish("fft-psd", np.asarray(db))
+        else:
+            res = spectrum_block(blocks, rate=float(self.rate),
+                                 window=self.window)
+            session.pubsub.publish("fft-psd", np.asarray(res.psd))
+            session.pubsub.publish(
+                "fft-peak",
+                (int(res.peak_freq[-1]), float(res.peak_db[-1])))
 
 
 class TelemetryStage(Stage):

@@ -113,3 +113,15 @@ def test_quantized_nco_table():
            ).astype(int) % 256
     np.testing.assert_allclose(np.asarray(c), np.cos(idx * 2 * np.pi / 256),
                                atol=1e-6)
+
+
+def test_pallas_psd_waterfall_matches_reference(rng):
+    from jsdr_tpu.ops.pallas_kernels import psd_waterfall
+    spec = (rng.standard_normal((16, 1920)) +
+            1j * rng.standard_normal((16, 1920))).astype(np.complex64) * 40
+    db_p, line_p = psd_waterfall(jnp.asarray(spec), width=960,
+                                 use_pallas=True, interpret=True)
+    db_r, line_r = psd_waterfall(jnp.asarray(spec), width=960,
+                                 use_pallas=False)
+    np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), atol=1e-4)
+    assert np.array_equal(np.asarray(line_p), np.asarray(line_r))
