@@ -9,8 +9,12 @@ Subcommands mirror the reference's tabs:
   (FUNcubeBPSKDemod.java + FECDecoder.java)
 - ``record``: re-write a source as raw S16LE IQ (recorder.java)
 
-Config: ``key=val`` args override a java-properties-style file, exactly
-like the reference CLI (jsdr.java:256-265).
+Config: ``--config jsdr.properties`` loads a java-properties-style file
+using the REFERENCE's key schema (audio-rate, audio-ic/qc, fft-hamming,
+demod-*, FUNcube<n>-bpsk-*, jsdr-funcube-demods — jsdr.java:49-57,
+JavaAudio.java:18-23, demod.java:32-37, FUNcubeBPSKDemod.java:97-99);
+explicit CLI flags override it, like the reference's key=val overrides
+(jsdr.java:256-265).
 """
 
 from __future__ import annotations
@@ -19,6 +23,41 @@ import argparse
 import sys
 
 import numpy as np
+
+
+def _apply_config(args):
+    """Fold a reference-schema properties file into the parsed args."""
+    if not getattr(args, "config", None):
+        return args
+    from ..runtime.config import Config
+    c = Config(args.config)
+    if args.rate == 96000:
+        args.rate = c.get_int("audio-rate", args.rate)
+    if args.icorr == 0:
+        args.icorr = c.get_int("audio-ic", 0)
+    if args.qcorr == 0:
+        args.qcorr = c.get_int("audio-qc", 0)
+    if getattr(args, "cmd", "") == "spectrum" and not args.no_window:
+        args.no_window = c.get_int("fft-hamming", 1) == 0
+    if getattr(args, "cmd", "") == "demod":
+        modes = {0: "off", 1: "raw", 2: "am", 3: "nfm", 4: "wfm"}
+        if args.mode == "nfm":
+            args.mode = modes.get(c.get_int("demod-mode", 3), "nfm")
+        if args.flo is None and c.get_int("demod-fir-enable", 0):
+            args.flo = c.get_int("demod-filter-low", -3000)
+            args.fhi = c.get_int("demod-filter-high", 3000)
+        if not args.agc:
+            args.agc = c.get_int("demod-agc-enable", 0) != 0
+    if getattr(args, "cmd", "") == "telemetry" and args.tuning == "12000":
+        n = c.get_int("jsdr-funcube-demods", 1)
+        tunings = [c.get_int(f"FUNcube{i}-bpsk-tuning", 12000)
+                   for i in range(n)]
+        args.tuning = ",".join(str(t) for t in tunings)
+        if c.get_int("FUNcube0-bpsk-dofft", 0):
+            args.fft_tune = True
+        if c.get_int("FUNcube0-bpsk-upper", 0):
+            args.track_high = True
+    return args
 
 
 def _load_iq(args, rate):
@@ -187,6 +226,8 @@ def main(argv=None):
     p.add_argument("--icorr", type=int, default=0, help="I DC correction")
     p.add_argument("--qcorr", type=int, default=0, help="Q DC correction")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--config", help="jsdr.properties-style config file "
+                   "(reference key schema; CLI flags override)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("spectrum", help="FFT/PSD + waterfall")
@@ -238,6 +279,7 @@ def main(argv=None):
     rc.set_defaults(fn=cmd_record)
 
     args = p.parse_args(argv)
+    _apply_config(args)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")

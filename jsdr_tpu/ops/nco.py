@@ -37,17 +37,29 @@ def quantized_cos_sin(phase: jnp.ndarray, dtype=jnp.float32) -> Tuple[jnp.ndarra
     return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
 
 
-def phase_ramp(n: int, phase0: jnp.ndarray, inc: jnp.ndarray,
-               dtype=jnp.float64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def phase_ramp(n: int, phase0: jnp.ndarray, inc,
+               chunk: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Phases produced by ``for t: phase += inc; wrap 2pi`` starting at
     ``phase0`` — i.e. sample t sees phase0 + (t+1)*inc, wrapped.
 
-    Returns (phases[n], final_phase). The wrap keeps the value in [0, 2pi)
-    modulo fp rounding; matches the reference accumulate-subtract loop to
-    within 1 ulp of the closed form (frame-level parity is the contract).
+    Works in f32 without x64: when ``inc`` is a python float (static
+    frequency — the common case), the ramp is computed on host in f64
+    and baked as a constant. For a traced ``inc``, a coarse/fine split
+    bounds the f32 rounding error to ~(n/chunk + chunk) ulps of 2pi
+    instead of ~n. Returns (phases[n], final_phase).
     """
-    t = jnp.arange(1, n + 1, dtype=dtype)
-    phases = jnp.mod(phase0.astype(dtype) + t * jnp.asarray(inc, dtype), TWO_PI)
+    if isinstance(inc, (int, float)):
+        ramp = np.mod(np.arange(1, n + 1, dtype=np.float64) * float(inc),
+                      TWO_PI).astype(np.float32)
+        phases = jnp.mod(phase0.astype(jnp.float32) + jnp.asarray(ramp), TWO_PI)
+        return phases, phases[-1]
+    inc = jnp.asarray(inc, jnp.float32)
+    t = jnp.arange(1, n + 1)
+    coarse = (t // chunk).astype(jnp.float32)
+    fine = (t % chunk).astype(jnp.float32)
+    inc_c = jnp.mod(chunk * inc, TWO_PI)
+    phases = jnp.mod(phase0.astype(jnp.float32)
+                     + jnp.mod(coarse * inc_c, TWO_PI) + fine * inc, TWO_PI)
     return phases, phases[-1]
 
 

@@ -192,3 +192,22 @@ class DemodStage(Stage):
         from ..demod.am_fm import demod_block
         audio, mx, avg, self.state = demod_block(block, self.cfg, self.state)
         session.pubsub.publish("audio-out", np.asarray(audio))
+
+
+class RecorderStage(Stage):
+    """recorder.java analog: append blocks to a raw S16LE capture file
+    while enabled; produces replayable fixtures."""
+
+    name = "recorder"
+
+    def __init__(self, path, enabled: bool = True):
+        from ..io.recorder import RawRecorder
+        self.rec = RawRecorder(path).open()
+        self.enabled = enabled
+
+    def process(self, block, session: Session):
+        if self.enabled:
+            self.rec.write_iq(np.asarray(block))
+
+    def close(self):
+        self.rec.close()

@@ -18,6 +18,8 @@ def ensure_tpu_ready(attempts: int = 6, sleep_s: float = 10.0) -> bool:
 
     Returns True when a probe succeeds. Raises the last error otherwise.
     """
+    import random
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -25,9 +27,15 @@ def ensure_tpu_ready(attempts: int = 6, sleep_s: float = 10.0) -> bool:
     last = None
     for attempt in range(attempts):
         try:
-            x = jnp.asarray(np.arange(1024, dtype=np.float32))
-            r = np.asarray(jax.block_until_ready(jnp.mod(x * 1.001 + 1.0, 6.28)))
-            assert r.shape == (1024,)
+            # randomized shape + baked constant => a genuinely fresh HLO
+            # module every time, so a server-side compile cache cannot
+            # mask a broken remote-compile service
+            n = 512 + 8 * random.randrange(1, 64)
+            c = float(random.random())
+            x = jnp.asarray(np.arange(n, dtype=np.float32))
+            r = np.asarray(jax.block_until_ready(
+                jax.jit(lambda a: jnp.tanh(a * c) + c)(x)))
+            assert r.shape == (n,)
             return True
         except Exception as e:  # noqa: BLE001 — backend errors vary by type
             last = e
