@@ -69,8 +69,8 @@ def _load_iq(args, rate):
         iq = src.all()
         want = args.seconds * src.rate
         if len(iq) < want:   # loop-at-EOF semantics (JavaAudio.java:252-256)
-            iq = np.tile(iq, int(np.ceil(want / len(iq))))[:want]
-        return iq, src.rate
+            iq = np.tile(iq, int(np.ceil(want / len(iq))))
+        return iq[:want], src.rate
     if name.startswith("sine:"):
         f = float(name[5:])
         return synth_sine(rate * args.seconds, f, rate, analytic=False), rate

@@ -62,3 +62,12 @@ def waterfall_intensity(psd: jnp.ndarray) -> jnp.ndarray:
     (waterfall.java:90-107: 255 - psd * -2.55, clamped)."""
     f = 255.0 - psd * -2.55
     return jnp.clip(f, 0.0, 255.0).astype(jnp.uint8)
+
+
+def psd_with_maxima(res: SpectrumResult) -> jnp.ndarray:
+    """Pack PSD lines in the reference's publish convention: the PSD
+    followed by two trailing floats [peak_freq, peak_db]
+    (fft.java:222-226, consumed by waterfall.java:28-36)."""
+    extras = jnp.stack([res.peak_freq.astype(res.psd.dtype),
+                        res.peak_db.astype(res.psd.dtype)], axis=-1)
+    return jnp.concatenate([res.psd, extras], axis=-1)

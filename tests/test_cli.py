@@ -1,0 +1,64 @@
+"""CLI surface: every subcommand end-to-end via main(argv)."""
+
+import numpy as np
+import pytest
+
+from jsdr_tpu.app.main import main
+
+
+@pytest.fixture(scope="module")
+def fixture_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    out = str(d / "t.raw")
+    main(["--cpu", "--rate", "96000", "--seconds", "9", "synth",
+          "telemetry", "--out", out, "--noise", "0.2"])
+    return out
+
+
+def test_cli_synth_and_telemetry(fixture_file, capsys, tmp_path):
+    ck = str(tmp_path / "st.npz")
+    main(["--cpu", "--rate", "96000", "--seconds", "10", "telemetry",
+          f"file:{fixture_file}", "--checkpoint", ck])
+    out = capsys.readouterr().out
+    assert "frames=2" in out
+    assert "channel_errors=0" in out or "channel_errors" in out
+    # resume path
+    main(["--cpu", "--rate", "96000", "--seconds", "10", "telemetry",
+          f"file:{fixture_file}", "--checkpoint", ck, "--resume"])
+    assert "resumed stream state" in capsys.readouterr().out
+
+
+def test_cli_spectrum_reference_fixture(capsys, tmp_path):
+    png = str(tmp_path / "wf.png")
+    main(["--cpu", "--rate", "44100", "--seconds", "2", "spectrum",
+          "file:/root/reference/sine4410.raw", "--show", "1",
+          "--png", png])
+    out = capsys.readouterr().out
+    assert "-4410 Hz" in out or "4410 Hz" in out
+    assert (tmp_path / "wf.png").exists()
+
+
+def test_cli_demod(fixture_file, capsys, tmp_path):
+    out_f = str(tmp_path / "a.raw")
+    main(["--cpu", "--rate", "96000", "--seconds", "2", "demod",
+          f"file:{fixture_file}", "--mode", "am", "--out", out_f])
+    assert "demodulated" in capsys.readouterr().out
+    assert (tmp_path / "a.raw").stat().st_size > 0
+
+
+def test_cli_config_schema(fixture_file, capsys, tmp_path):
+    cfg = tmp_path / "jsdr.properties"
+    cfg.write_text("jsdr-tpu-version=1\naudio-rate=96000\n"
+                   "jsdr-funcube-demods=2\nFUNcube0-bpsk-tuning=12000\n"
+                   "FUNcube1-bpsk-tuning=9000\n")
+    main(["--cpu", "--config", str(cfg), "--seconds", "10", "telemetry",
+          f"file:{fixture_file}"])
+    out = capsys.readouterr().out
+    assert "@ 12000 Hz" in out and "@ 9000 Hz" in out
+
+
+def test_cli_record(fixture_file, capsys, tmp_path):
+    out_f = str(tmp_path / "cap.raw")
+    main(["--cpu", "--rate", "96000", "--seconds", "1", "record",
+          f"file:{fixture_file}", "--out", out_f])
+    assert (tmp_path / "cap.raw").stat().st_size == 96000 * 4

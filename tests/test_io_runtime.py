@@ -169,3 +169,13 @@ def test_streaming_executor_session(rng):
     assert np.array_equal(frames[0]["payload"], payload[0])
     rep = s.timers.report()
     assert rep["telemetry"]["samples"] == n * 96000
+
+
+def test_device_side_conversion_matches_host(rng):
+    import jax.numpy as jnp
+    from jsdr_tpu.io.convert_device import s16_interleaved_to_complex, upload_raw
+    s = rng.integers(-32768, 32768, 4096, dtype=np.int16)
+    dev = np.asarray(s16_interleaved_to_complex(
+        upload_raw(s), jnp.int16(3), jnp.int16(-5)))
+    host = convert.s16le_to_complex(s, 2, 3, -5)
+    assert np.array_equal(dev, host)
