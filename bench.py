@@ -33,6 +33,7 @@ def main():
     import jax.numpy as jnp
     from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_block_batch, bpsk_init_batch
     from jsdr_tpu.io.sources import synth_bpsk_stream
+    from jsdr_tpu.ops.cplx import from_complex
     from jsdr_tpu.ops.spectrum import spectrum_block
 
     from jsdr_tpu.runtime.tpu import ensure_tpu_ready
@@ -53,7 +54,7 @@ def main():
         rate=rate, preamble_bits=400, noise_rms=0.3)
     reps = int(np.ceil(n_streams * t_len / len(base)))
     sig = np.tile(base, reps)[: n_streams * t_len].reshape(n_streams, t_len)
-    iq = jnp.asarray(sig)
+    iq = from_complex(sig)           # planar pair (no complex HLO on TPU)
     states = bpsk_init_batch(cfg, n_streams)
 
     @jax.jit

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.cplx import CF, as_cf, cf_zeros
 from ..ops.fir import bandpass_weights, fir_apply_streaming
 
 TWO_PI = 2.0 * np.pi
@@ -54,7 +55,7 @@ class AmFmConfig(NamedTuple):
 
 
 class AmFmState(NamedTuple):
-    fir_tail: jnp.ndarray   # [ntaps-1] complex64
+    fir_tail: CF            # [ntaps-1] planar FIR history
     car: jnp.ndarray        # scalar f32 carrier phase in [0, 2pi)
     last_iq: jnp.ndarray    # [2] f32 previous sample (FM discriminator)
 
@@ -62,7 +63,7 @@ class AmFmState(NamedTuple):
     def init(cfg: AmFmConfig) -> "AmFmState":
         # numpy leaves: converted at jit call time (see bpsk_init note)
         return AmFmState(
-            fir_tail=np.zeros(cfg.ntaps - 1, np.complex64),
+            fir_tail=cf_zeros(cfg.ntaps - 1),
             car=np.zeros((), np.float32),
             last_iq=np.zeros(2, np.float32),
         )
@@ -82,12 +83,11 @@ def _demod_block(iq, taps, ramp, delta, fmgain, state, *,
         # mod(t*phi, 2pi) precomputed on host in f64 so long streams do not
         # accumulate f32 phase error.
         cars = jnp.mod(car - ramp, TWO_PI)
-        rot = (jnp.cos(cars) + 1j * jnp.sin(cars)).astype(x.dtype)
-        x = x * rot
+        x = x * CF(jnp.cos(cars), jnp.sin(cars))
         car = jnp.mod(car - delta, TWO_PI)
 
-    i = x.real.astype(jnp.float32)
-    q = x.imag.astype(jnp.float32)
+    i = x.re.astype(jnp.float32)
+    q = x.im.astype(jnp.float32)
     avg = jnp.zeros((), jnp.float32)
     last_iq = state.last_iq
     if mode == Mode.OFF:
@@ -113,13 +113,14 @@ def _demod_block(iq, taps, ramp, delta, fmgain, state, *,
     return audio, mx, avg, new_state
 
 
-def demod_block(iq: jnp.ndarray, cfg: AmFmConfig,
+def demod_block(iq, cfg: AmFmConfig,
                 state: AmFmState) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, AmFmState]:
-    """Demodulate one complex block.
+    """Demodulate one block (CF pair, or host numpy complex64).
 
     Returns (audio [T] float32 in -1..1, block max, block avg, new state).
     fmgain = rate/5000 (NFM) or rate/75000 (WFM), demod.java:409.
     """
+    iq = as_cf(iq)
     fmgain = cfg.rate / (5000.0 if cfg.mode == Mode.NFM else 75000.0)
     taps = cfg.weights()
     phi = cfg.phi()

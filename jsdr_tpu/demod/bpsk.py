@@ -45,6 +45,7 @@ import numpy as np
 from jax import lax
 
 from ..fec.tables import SYNC_VECTOR
+from ..ops.cplx import CF, as_cf, cf_zeros
 from ..ops.fir import fir_apply_streaming, polyphase_decimate
 from .fft_tuner import FftTunerState, fft_tuner_blocks, fft_tuner_init
 
@@ -132,9 +133,9 @@ class TimingState(NamedTuple):
 
 class BpskState(NamedTuple):
     tu_phase: jnp.ndarray   # scalar f32 tuner NCO phase in [0, 2pi)
-    ds_tail: jnp.ndarray    # [26] complex64 decimator history
+    ds_tail: CF             # [26] planar decimator history
     vco_idx: jnp.ndarray    # scalar i32 decimated-sample counter mod 8
-    mf_tail: jnp.ndarray    # [64] complex64 matched-filter history
+    mf_tail: CF             # [64] planar matched-filter history
     timing: TimingState
     ring: jnp.ndarray       # [5199] i8 last bits (+1/-1; 0 = unfilled)
     counters: jnp.ndarray   # [4] i32: raw, ds, bit, fec(sync hits)
@@ -146,9 +147,9 @@ def bpsk_init(cfg: BpskConfig) -> BpskState:
     # TPU backend rejects eagerly created rank-0 device arrays)
     return BpskState(
         tu_phase=np.zeros((), np.float32),
-        ds_tail=np.zeros(len(DS_FILTER) - 1, np.complex64),
+        ds_tail=cf_zeros(len(DS_FILTER) - 1),
         vco_idx=np.zeros((), np.int32),
-        mf_tail=np.zeros(len(DM_FILTER) - 1, np.complex64),
+        mf_tail=cf_zeros(len(DM_FILTER) - 1),
         timing=TimingState(
             e_ema=np.zeros(SAMPLES_PER_BIT, np.float32),
             pos=np.zeros((), np.int32),
@@ -163,7 +164,7 @@ def bpsk_init(cfg: BpskConfig) -> BpskState:
     )
 
 
-def _tuner_mix(iq: jnp.ndarray, phase0: jnp.ndarray, tuning: float, rate: int):
+def _tuner_mix(iq: CF, phase0: jnp.ndarray, tuning: float, rate: int):
     """Quantized-table tuner mix (mi = i*cos, mq = q*sin — the reference's
     non-complex quirk, :389-390). Static tuning -> host-exact phase ramp."""
     n = iq.shape[-1]
@@ -175,32 +176,29 @@ def _tuner_mix(iq: jnp.ndarray, phase0: jnp.ndarray, tuning: float, rate: int):
     phases = jnp.mod(phase0 + jnp.asarray(ramp.astype(np.float32)), TWO_PI)
     idx = (phases * (SINCOS_SIZE / TWO_PI)).astype(jnp.int32) % SINCOS_SIZE
     ang = idx.astype(jnp.float32) * (TWO_PI / SINCOS_SIZE)
-    mi = iq.real * jnp.cos(ang)
-    mq = iq.imag * jnp.sin(ang)
+    mixed = CF(iq.re * jnp.cos(ang), iq.im * jnp.sin(ang))
     phase_out = jnp.mod(phase0 + np.float32(np.mod(n * inc, TWO_PI)), TWO_PI)
-    return (mi + 1j * mq).astype(jnp.complex64), phase_out
+    return mixed, phase_out
 
 
-def _vco_mix(ds: jnp.ndarray, vco_idx: jnp.ndarray):
+def _vco_mix(ds: CF, vco_idx: jnp.ndarray):
     """bi = i*cos(vco), bq = q*sin(vco) (:515-516); vco phase = pi/4 * m."""
     k = ds.shape[-1]
     m = (vco_idx + jnp.arange(k, dtype=jnp.int32)) % 8
     c = jnp.asarray(_VCO_COS)[m]
     s = jnp.asarray(_VCO_SIN)[m]
-    bb = (ds.real * c + 1j * (ds.imag * s)).astype(jnp.complex64)
-    return bb, (vco_idx + k) % 8
+    return CF(ds.re * c, ds.im * s), (vco_idx + k) % 8
 
 
-def _timing_scan(mf: jnp.ndarray, ts: TimingState):
+def _timing_scan(mf: CF, ts: TimingState):
     """Bit-energy timing + differential decision per decimated sample
-    (:505-595). mf: [K] complex64 matched-filter output.
+    (:505-595). mf: [K] planar matched-filter output.
 
     Returns (valid[K] bool, bit[K] bool, di[K], e2[K], new state).
     """
 
     def step(s: TimingState, x):
-        fi = x.real
-        fq = x.imag
+        fi, fq = x
         e1 = fi * fi + fq * fq
         e_ema = s.e_ema.at[s.pos].set(
             s.e_ema[s.pos] * (1.0 - BIT_SMOOTH1) + e1 * BIT_SMOOTH1)
@@ -222,11 +220,11 @@ def _timing_scan(mf: jnp.ndarray, ts: TimingState):
                          new_eout, new_last)
         return ns, (valid, bit, di, e2)
 
-    new_ts, (valid, bit, di, e2) = lax.scan(step, ts, mf)
+    new_ts, (valid, bit, di, e2) = lax.scan(step, ts, (mf.re, mf.im))
     return valid, bit, di, e2, new_ts
 
 
-def _timing_parallel(mf: jnp.ndarray, ts: TimingState):
+def _timing_parallel(mf: CF, ts: TimingState):
     """Fully parallel timing recovery — same decisions as ``_timing_scan``
     without a per-sample recurrence.
 
@@ -253,8 +251,8 @@ def _timing_parallel(mf: jnp.ndarray, ts: TimingState):
     k_len = mf.shape[-1]
     assert k_len % SAMPLES_PER_BIT == 0
     g = k_len // SAMPLES_PER_BIT
-    fi = mf.real.astype(jnp.float32).reshape(g, SAMPLES_PER_BIT)
-    fq = mf.imag.astype(jnp.float32).reshape(g, SAMPLES_PER_BIT)
+    fi = mf.re.astype(jnp.float32).reshape(g, SAMPLES_PER_BIT)
+    fq = mf.im.astype(jnp.float32).reshape(g, SAMPLES_PER_BIT)
     e1 = fi * fi + fq * fq
 
     # lane EMAs over groups: y_g = a*y_{g-1} + b_g, prefix-composed
@@ -383,6 +381,7 @@ def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
         assert t_len % samples == 0, "dofft needs whole 0.1 s sub-blocks"
         mixed, _centres, ft_state = fft_tuner_blocks(
             iq.reshape(-1, samples), state.fft_tuner, track_high)
+        mixed = mixed.reshape(t_len)
         tu_phase = state.tu_phase
     else:
         mixed, tu_phase = _tuner_mix(iq, state.tu_phase, tuning, rate)
@@ -413,13 +412,15 @@ def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
     return out, new_state
 
 
-def bpsk_block(iq: jnp.ndarray, cfg: BpskConfig,
+def bpsk_block(iq, cfg: BpskConfig,
                state: BpskState) -> Tuple[BpskBlockOut, BpskState]:
-    """Process one complex64 block [T] through the full telemetry chain.
+    """Process one block [T] through the full telemetry chain.
 
-    T must be a multiple of cfg.decim. Returns extracted soft FEC windows
+    ``iq``: CF planar pair (or host numpy complex64, split on host). T
+    must be a multiple of cfg.decim. Returns extracted soft FEC windows
     (feed to jsdr_tpu.fec.decoder.fec_decode) and the carried state.
     """
+    iq = as_cf(iq)
     return _bpsk_block(iq, state, rate=cfg.rate, tuning=cfg.tuning,
                        max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
                        track_high=cfg.track_high,
@@ -434,10 +435,10 @@ def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
         lambda x: np.broadcast_to(x, (n_streams, *x.shape)).copy(), one)
 
 
-def bpsk_block_batch(iq: jnp.ndarray, cfg: BpskConfig,
+def bpsk_block_batch(iq, cfg: BpskConfig,
                      states: BpskState) -> Tuple[BpskBlockOut, BpskState]:
     """vmapped telemetry chain over independent streams: [S, T] blocks."""
     fn = partial(_bpsk_block, rate=cfg.rate, tuning=cfg.tuning,
                  max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
                  track_high=cfg.track_high, compat_scan=cfg.compat_scan)
-    return jax.vmap(fn)(iq, states)
+    return jax.vmap(fn)(as_cf(iq), states)

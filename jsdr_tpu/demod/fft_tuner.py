@@ -8,9 +8,8 @@ and ONLY ITS REAL PART is fed to the decimator (the reference drops Q —
 a deliberate quirk of its C++ heritage, :462).
 
 The EMA state chains across blocks, so blocks run under ``lax.scan``
-with a (avePeakPower, aveCentreBin, centreBin) carry. All blocks of a
-batch step stay on-device; the selected centre bins are emitted for
-observability (the ``FUNcube<n>-bpsk-centre`` topic analog).
+with a (avePeakPower, aveCentreBin, centreBin) carry. Transforms use the
+planar MXU matmul FFT (no complex HLO).
 """
 
 from __future__ import annotations
@@ -22,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+from ..ops.cplx import CF, as_cf
+from ..ops.mxu_fft import fft_cf, ifft_cf
 
 # FUNcubeBPSKDemod.java:399-402
 PSD_AVG = 2.0 / (10 + 1)
@@ -46,11 +48,10 @@ def fft_tuner_init() -> FftTunerState:
     )
 
 
-def _tune_one_block(state: FftTunerState, iq: jnp.ndarray, *,
-                    track_high: bool):
+def _tune_one_block(state: FftTunerState, iq: CF, *, track_high: bool):
     samples = iq.shape[-1]
-    spec = jnp.fft.fft(iq)
-    psd = jnp.abs(spec[: samples // 2])
+    spec = fft_cf(iq)
+    psd = spec[: samples // 2].abs()
 
     beg = samples // 4 if track_high else 0
     end = samples // 2 if track_high else samples // 4
@@ -72,28 +73,34 @@ def _tune_one_block(state: FftTunerState, iq: jnp.ndarray, *,
     centre2 = jnp.maximum(centre2, MIN_CENTRE)
 
     # inverse FFT of the 204-bin slice [centre-102, centre+102), at bin 0
-    sl = lax.dynamic_slice(spec, (jnp.clip(centre2 - SLICE_HALF, 0,
-                                           samples - 2 * SLICE_HALF),),
-                           (2 * SLICE_HALF,))
-    rev = jnp.zeros(samples, spec.dtype).at[: 2 * SLICE_HALF].set(sl)
-    td = jnp.fft.ifft(rev)
-    feed = td.real.astype(jnp.float32)
+    start = jnp.clip(centre2 - SLICE_HALF, 0, samples - 2 * SLICE_HALF)
+    sl = CF(lax.dynamic_slice(spec.re, (start,), (2 * SLICE_HALF,)),
+            lax.dynamic_slice(spec.im, (start,), (2 * SLICE_HALF,)))
+    rev = CF(jnp.zeros(samples, jnp.float32).at[: 2 * SLICE_HALF].set(sl.re),
+             jnp.zeros(samples, jnp.float32).at[: 2 * SLICE_HALF].set(sl.im))
+    td = ifft_cf(rev)
+    feed_re = td.re.astype(jnp.float32)
     new_state = FftTunerState(ave_pp.astype(jnp.float32),
                               ave_cb.astype(jnp.float32), centre2)
     # the decimator receives (re, re) — Q dropped (:461-463)
-    return new_state, ((feed + 1j * feed).astype(jnp.complex64), centre2)
+    return new_state, (CF(feed_re, feed_re), centre2)
 
 
 @partial(jax.jit, static_argnames=("track_high",))
-def fft_tuner_blocks(iq_blocks: jnp.ndarray, state: FftTunerState,
-                     track_high: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray, FftTunerState]:
-    """Auto-tune a sequence of 0.1 s blocks.
-
-    iq_blocks: [n_blocks, samples] complex64. Returns (feed
-    [n_blocks*samples] complex64 with I=Q=real part, centre_bins
-    [n_blocks] i32, new state).
-    """
+def _fft_tuner_blocks_jit(iq_blocks: CF, state: FftTunerState,
+                          track_high: bool):
     step = partial(_tune_one_block, track_high=track_high)
     new_state, (feeds, centres) = lax.scan(step, state, iq_blocks)
     return feeds.reshape(-1), centres, new_state
+
+
+def fft_tuner_blocks(iq_blocks, state: FftTunerState,
+                     track_high: bool = False
+                     ) -> Tuple[CF, jnp.ndarray, FftTunerState]:
+    """Auto-tune a sequence of 0.1 s blocks.
+
+    iq_blocks: CF [n_blocks, samples] (or host complex). Returns (feed CF
+    [n_blocks*samples] with I=Q=real part, centre_bins [n_blocks] i32,
+    new state).
+    """
+    return _fft_tuner_blocks_jit(as_cf(iq_blocks), state, track_high)

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from .cplx import CF
+
 
 def bandpass_weights(ntaps: int, f_lo: float, f_hi: float, rate: float,
                      dtype=jnp.float32) -> jnp.ndarray:
@@ -68,10 +70,12 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(*lead, -1)
 
 
-def fir_apply(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+def fir_apply(x, taps: jnp.ndarray):
     """FIR with zero prehistory: output aligned to input (y[t] uses
-    x[t-ntaps+1..t], zeros before t=0). x: [..., T] real or complex."""
+    x[t-ntaps+1..t], zeros before t=0). x: [..., T] real, complex, or CF."""
     ntaps = taps.shape[0]
+    if isinstance(x, CF):
+        return CF(fir_apply(x.re, taps), fir_apply(x.im, taps))
     pad = [(0, 0)] * (x.ndim - 1) + [(ntaps - 1, 0)]
     xp = jnp.pad(x, pad)
     if jnp.iscomplexobj(x):
@@ -80,14 +84,18 @@ def fir_apply(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return _conv_valid(xp, taps)
 
 
-def fir_apply_streaming(x: jnp.ndarray, taps: jnp.ndarray,
-                        tail: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def fir_apply_streaming(x, taps: jnp.ndarray, tail):
     """FIR over a block with carried history.
 
     tail: [..., ntaps-1] previous samples (state). Returns (y, new_tail)
     with y the same length as x — identical to running the reference's
-    per-sample delay-buffer loop across block boundaries.
+    per-sample delay-buffer loop across block boundaries. Accepts CF
+    pairs (tail then also a CF).
     """
+    if isinstance(x, CF):
+        yr, tr = fir_apply_streaming(x.re, taps, tail.re)
+        yi, ti = fir_apply_streaming(x.im, taps, tail.im)
+        return CF(yr, yi), CF(tr, ti)
     xp = jnp.concatenate([tail, x], axis=-1)
     y = _conv_valid(xp.real, taps)
     if jnp.iscomplexobj(x):
@@ -96,26 +104,33 @@ def fir_apply_streaming(x: jnp.ndarray, taps: jnp.ndarray,
     return y, new_tail
 
 
-def fir_apply_fft(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+def fir_apply_fft(x, taps: jnp.ndarray):
     """Overlap-free whole-block frequency-domain FIR (zero prehistory).
 
-    For very long blocks XLA's FFT beats direct convolution; numerically
-    within fp tolerance of ``fir_apply``.
+    For very long blocks the (matmul) FFT beats direct convolution;
+    within fp tolerance of ``fir_apply``. x: real array or CF.
     """
+    from .cplx import as_cf
+    from .mxu_fft import fft_cf, ifft_cf
+
     ntaps = taps.shape[0]
-    t = x.shape[-1]
+    was_real = not isinstance(x, CF) and not (
+        hasattr(x, "dtype") and jnp.iscomplexobj(x)) and not (
+        isinstance(x, np.ndarray) and np.iscomplexobj(x))
+    xc = as_cf(x)
+    t = xc.shape[-1]
     n = t + ntaps - 1
-    X = jnp.fft.fft(x, n=n)
-    H = jnp.fft.fft(taps.astype(jnp.result_type(x.dtype, jnp.float32)), n=n)
-    y = jnp.fft.ifft(X * H)[..., :t]
-    if jnp.iscomplexobj(x):
-        return y.astype(x.dtype)
-    return y.real.astype(x.dtype)
+    pad = [(0, 0)] * (xc.ndim - 1) + [(0, n - t)]
+    xp = CF(jnp.pad(xc.re, pad), jnp.pad(xc.im, pad))
+    X = fft_cf(xp)
+    h = jnp.pad(taps.astype(jnp.float32), (0, n - ntaps))
+    H = fft_cf(CF(h, jnp.zeros_like(h)))
+    y = ifft_cf(X * H)[..., :t]
+    return y.re if was_real else y
 
 
-def polyphase_decimate(x: jnp.ndarray, taps: jnp.ndarray, m: int,
-                       tail: jnp.ndarray | None = None,
-                       gain: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def polyphase_decimate(x, taps: jnp.ndarray, m: int,
+                       tail=None, gain: float = 1.0):
     """Decimating FIR evaluated only at kept instants, as window-gather +
     tap contraction (MXU-friendly).
 
@@ -123,9 +138,16 @@ def polyphase_decimate(x: jnp.ndarray, taps: jnp.ndarray, m: int,
     per-block sample indices t = 0..T-1, outputs are produced at
     t = m-1, 2m-1, ... and output k = gain * sum_a x[t_k - a] * taps[a].
 
-    x: [..., T] with T % m == 0. tail: [..., ntaps-1] carried history
-    (zeros for stream start). Returns (y [..., T//m], new_tail).
+    x: [..., T] with T % m == 0 (real, complex, or CF). tail: [...,
+    ntaps-1] carried history (zeros for stream start). Returns
+    (y [..., T//m], new_tail).
     """
+    if isinstance(x, CF):
+        yr, tr = polyphase_decimate(x.re, taps, m,
+                                    None if tail is None else tail.re, gain)
+        yi, ti = polyphase_decimate(x.im, taps, m,
+                                    None if tail is None else tail.im, gain)
+        return CF(yr, yi), CF(tr, ti)
     ntaps = taps.shape[0]
     t_len = x.shape[-1]
     assert t_len % m == 0, "block length must be a multiple of the decimation"

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .cplx import CF, as_cf
+
 _EPS = 1e-30
 _INTENSITY = -2.55  # waterfall.java:92: 255 - psd * -2.55
 
@@ -59,16 +61,8 @@ def _psd_waterfall_kernel(re_ref, im_ref, db_ref, line_ref, *, width: int):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "use_pallas", "interpret"))
-def psd_waterfall(spec: jnp.ndarray, width: int = 960,
-                  use_pallas: bool = True, interpret: bool = False):
-    """[B, N] complex spectrum -> (psd_db [B, N] f32, line [B, width] u8).
-
-    ``width`` must divide N. Falls back to the jnp reference off-TPU.
-    """
-    b, n = spec.shape
-    assert n % width == 0, "width must divide the FFT size"
-    re = spec.real.astype(jnp.float32)
-    im = spec.imag.astype(jnp.float32)
+def _psd_waterfall_jit(re, im, width, use_pallas, interpret):
+    b, n = re.shape
     if not use_pallas:
         return _psd_waterfall_ref(re, im, width)
 
@@ -100,3 +94,14 @@ def psd_waterfall(spec: jnp.ndarray, width: int = 960,
         interpret=interpret,
     )(re, im)
     return db, line_f.astype(jnp.uint8)
+
+
+def psd_waterfall(spec, width: int = 960,
+                  use_pallas: bool = True, interpret: bool = False):
+    """[B, N] spectrum (CF pair or complex) -> (psd_db [B, N] f32,
+    line [B, width] u8). ``width`` must divide N."""
+    spec = as_cf(spec)
+    assert spec.shape[-1] % width == 0, "width must divide the FFT size"
+    return _psd_waterfall_jit(spec.re.astype(jnp.float32),
+                              spec.im.astype(jnp.float32),
+                              width, use_pallas, interpret)

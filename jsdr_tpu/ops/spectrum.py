@@ -2,8 +2,9 @@
 
 The reference transforms each 0.1 s block with JTransforms and computes a
 dBFS PSD plus the spectral maximum per block (fft.java:190-228). Here
-blocks are batched [B, N] and the whole thing is one fused XLA graph;
-``vs_baseline`` perf comes from doing many blocks per dispatch.
+blocks are batched [B, N] planar pairs (:mod:`jsdr_tpu.ops.cplx`), the
+transform is the MXU matmul FFT (:mod:`jsdr_tpu.ops.mxu_fft` — no
+complex HLO), and the whole thing is one fused XLA graph.
 
 PSD convention (fft.java:197-207, after pysdr.org):
     psd = 10*log10((re^2 + im^2) * (2/N)^2)
@@ -18,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .cplx import CF, as_cf
+from .mxu_fft import fft_cf
 from .windows import hamming
 
 _EPS = 1e-30  # avoid log(0); reference happily takes -inf
@@ -29,24 +32,25 @@ class SpectrumResult(NamedTuple):
     peak_db: jnp.ndarray    # [...]
 
 
-def psd_dbfs(spec: jnp.ndarray) -> jnp.ndarray:
-    """Complex spectrum -> dBFS PSD with the (2/N)^2 correction."""
+def psd_dbfs(spec: CF) -> jnp.ndarray:
+    """Planar spectrum -> dBFS PSD with the (2/N)^2 correction."""
     n = spec.shape[-1]
     cf = (2.0 / n) ** 2
-    power = (spec.real * spec.real + spec.imag * spec.imag) * cf
+    power = spec.abs2() * cf
     return 10.0 * jnp.log10(jnp.maximum(power, _EPS))
 
 
-def spectrum_block(iq: jnp.ndarray, rate: float,
-                   window: bool = True) -> SpectrumResult:
-    """Windowed FFT + PSD + peak search over [..., N] complex blocks.
+def spectrum_block(iq, rate: float, window: bool = True) -> SpectrumResult:
+    """Windowed FFT + PSD + peak search over [..., N] blocks.
 
-    ``window=False`` reproduces the reference's quirk of computing but
-    never applying the Hamming window (fft.java:71-73 vs :193).
+    ``iq``: CF pair (or host numpy complex, converted). ``window=False``
+    reproduces the reference's quirk of computing but never applying the
+    Hamming window (fft.java:71-73 vs :193).
     """
+    iq = as_cf(iq)
     n = iq.shape[-1]
-    x = iq * hamming(n).astype(iq.real.dtype) if window else iq
-    spec = jnp.fft.fft(x)
+    x = iq * hamming(n) if window else iq
+    spec = fft_cf(x)
     psd = psd_dbfs(spec)
     p = jnp.argmax(psd, axis=-1)
     peak_db = jnp.take_along_axis(psd, p[..., None], axis=-1)[..., 0]

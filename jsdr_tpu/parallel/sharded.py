@@ -38,16 +38,17 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..demod import bpsk as B
+from ..ops.cplx import CF, as_cf, cf_zeros
 from ..ops.fir import polyphase_decimate, fir_apply_streaming
 from ..ops.spectrum import spectrum_block
 
 TWO_PI = 2.0 * np.pi
 
 
-def _frontend_local(iq_loc: jnp.ndarray, *, rate: int, tuning: float,
-                    n_sp: int) -> jnp.ndarray:
-    """Per-shard front-end: [s_loc, t_loc] complex64 -> matched-filter
-    output [s_loc, t_loc//M] complex64. Runs inside shard_map."""
+def _frontend_local(iq_loc: CF, *, rate: int, tuning: float,
+                    n_sp: int) -> CF:
+    """Per-shard front-end: [s_loc, t_loc] planar pair -> matched-filter
+    output [s_loc, t_loc//M] pair. Runs inside shard_map."""
     m = rate // B.DOWN_SAMPLE_RATE
     ntaps_mf = len(B.DM_FILTER)
     halo = (ntaps_mf - 1) * m + (len(B.DS_FILTER) - 1)
@@ -56,9 +57,11 @@ def _frontend_local(iq_loc: jnp.ndarray, *, rate: int, tuning: float,
 
     sp_idx = lax.axis_index("sp")
     # ring halo: left neighbor's trailing samples; shard 0 gets zeros
-    left = lax.ppermute(iq_loc[..., -halo:], "sp",
-                        [(i, (i + 1) % n_sp) for i in range(n_sp)])
-    left = jnp.where(sp_idx == 0, 0, left)
+    perm = [(i, (i + 1) % n_sp) for i in range(n_sp)]
+    left = CF(lax.ppermute(iq_loc.re[..., -halo:], "sp", perm),
+              lax.ppermute(iq_loc.im[..., -halo:], "sp", perm))
+    left = CF(jnp.where(sp_idx == 0, 0, left.re),
+              jnp.where(sp_idx == 0, 0, left.im))
 
     # tuner NCO phase offset of this shard's first sample
     inc = TWO_PI * tuning / float(rate)
@@ -70,11 +73,12 @@ def _frontend_local(iq_loc: jnp.ndarray, *, rate: int, tuning: float,
         phases = jnp.mod(base + jnp.asarray(ramp), TWO_PI)
         idx = (phases * (B.SINCOS_SIZE / TWO_PI)).astype(jnp.int32) % B.SINCOS_SIZE
         ang = idx.astype(jnp.float32) * (TWO_PI / B.SINCOS_SIZE)
-        x = jnp.concatenate([left, iq_loc], axis=-1)
-        mixed = (x.real * jnp.cos(ang) + 1j * (x.imag * jnp.sin(ang))
-                 ).astype(jnp.complex64)
+        x = CF(jnp.concatenate([left.re, iq_loc.re], axis=-1),
+               jnp.concatenate([left.im, iq_loc.im], axis=-1))
+        mixed = CF(x.re * jnp.cos(ang), x.im * jnp.sin(ang))
     else:
-        mixed = jnp.concatenate([left, iq_loc], axis=-1)
+        mixed = CF(jnp.concatenate([left.re, iq_loc.re], axis=-1),
+                   jnp.concatenate([left.im, iq_loc.im], axis=-1))
 
     # decimate the extended segment; first (ntaps_mf-1) outputs are the
     # matched filter's prehistory, produced locally from the halo
@@ -90,21 +94,24 @@ def _frontend_local(iq_loc: jnp.ndarray, *, rate: int, tuning: float,
     mpos = (k0 + jnp.arange(ds.shape[-1], dtype=jnp.int32)) % 8
     c = jnp.asarray(B._VCO_COS)[mpos]
     s = jnp.asarray(B._VCO_SIN)[mpos]
-    bb = (ds.real * c + 1j * (ds.imag * s)).astype(jnp.complex64)
+    bb = CF(ds.re * c, ds.im * s)
 
     # matched filter over the extended stream; drop the warm-up outputs
     dm_taps = jnp.asarray(B.DM_FILTER.astype(np.float32))
-    tail = jnp.zeros((*bb.shape[:-1], ntaps_mf - 1), bb.dtype)
+    tail = CF(jnp.zeros((*bb.shape[:-1], ntaps_mf - 1), jnp.float32),
+              jnp.zeros((*bb.shape[:-1], ntaps_mf - 1), jnp.float32))
     mf_ext, _ = fir_apply_streaming(bb, dm_taps, tail)
     return mf_ext[..., ntaps_mf - 1:]
 
 
-def _telemetry_local(iq_loc, *, rate, tuning, n_sp, max_hits):
+def _telemetry_local(iq_re, iq_im, *, rate, tuning, n_sp, max_hits):
     """shard_map body: front-end + gathered scan + sync search."""
+    iq_loc = CF(iq_re, iq_im)
     mf_loc = _frontend_local(iq_loc, rate=rate, tuning=tuning, n_sp=n_sp)
-    mf = lax.all_gather(mf_loc, "sp", axis=mf_loc.ndim - 1, tiled=True)
+    mf = CF(lax.all_gather(mf_loc.re, "sp", axis=mf_loc.ndim - 1, tiled=True),
+            lax.all_gather(mf_loc.im, "sp", axis=mf_loc.ndim - 1, tiled=True))
 
-    def per_stream(mf_1d):
+    def per_stream(mf_1d: CF):
         ts = B.bpsk_init(B.BpskConfig(rate=rate, tuning=tuning)).timing
         valid, bit, di, e2, _ = B._timing_parallel(mf_1d, ts)
         max_bits = 2 * (mf_1d.shape[-1] // B.SAMPLES_PER_BIT) + 2
@@ -121,7 +128,7 @@ def sharded_telemetry_step(mesh: Mesh, rate: int = 96000,
                            tuning: float = 12000.0, max_hits: int = 4):
     """Build the jitted multi-chip telemetry step.
 
-    Returns fn(iq [S, T] complex64, sharded (dp, sp)) ->
+    Returns fn(iq [S, T] CF or host complex, sharded (dp, sp)) ->
     (windows [S, max_hits, 5200] uint8, hit_corr, n_hits [S], n_bits [S])
     with outputs sharded over dp.
     """
@@ -130,20 +137,31 @@ def sharded_telemetry_step(mesh: Mesh, rate: int = 96000,
                     n_sp=n_sp, max_hits=max_hits)
     smapped = jax.shard_map(
         local, mesh=mesh,
-        in_specs=P("dp", "sp"),
+        in_specs=(P("dp", "sp"), P("dp", "sp")),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
-    return jax.jit(smapped)
+    jitted = jax.jit(smapped)
+
+    def run(iq):
+        iq = as_cf(iq)
+        return jitted(iq.re, iq.im)
+
+    return run
 
 
 def sharded_spectrum(mesh: Mesh, rate: float, window: bool = True):
     """Batched FFT/PSD with blocks sharded over the whole mesh (pure DP:
     every block independent — fft.java's per-block transform at scale)."""
 
-    def step(blocks):
-        return spectrum_block(blocks, rate=rate, window=window)
+    def step(re, im):
+        return spectrum_block(CF(re, im), rate=rate, window=window)
 
-    fn = jax.jit(step,
-                 in_shardings=NamedSharding(mesh, P(("dp", "sp"), None)))
-    return fn
+    sh = NamedSharding(mesh, P(("dp", "sp"), None))
+    jitted = jax.jit(step, in_shardings=(sh, sh))
+
+    def run(blocks):
+        blocks = as_cf(blocks)
+        return jitted(blocks.re, blocks.im)
+
+    return run

@@ -50,7 +50,8 @@ class Session:
         for chunk in self.source:
             for block in framer.push(chunk):
                 with self.timers.stage("h2d", samples=len(block)):
-                    dev = jnp.asarray(block)
+                    from ..ops.cplx import as_cf
+                    dev = as_cf(block)   # host split; planes upload at jit
                 for stage in stages:
                     with self.timers.stage(stage.name, samples=len(block)):
                         try:
@@ -131,10 +132,11 @@ class SpectrumStage(Stage):
         n = (block.shape[-1] // self.fft_n) * self.fft_n
         blocks = block[:n].reshape(-1, self.fft_n)
         if self.waterfall_width:
+            from ..ops.mxu_fft import fft_cf
             from ..ops.pallas_kernels import psd_waterfall
             from ..ops.windows import hamming
             x = blocks * hamming(self.fft_n) if self.window else blocks
-            spec = jnp.fft.fft(x)
+            spec = fft_cf(x)
             db, lines = psd_waterfall(spec, width=self.waterfall_width,
                                       use_pallas=self.use_pallas)
             session.pubsub.publish("waterfall-line", np.asarray(lines))

@@ -83,8 +83,7 @@ def test_fft_tuner_tracks_peak():
     # first-max rule (mirroring Java's strict >) picks its left edge:
     # binPos = 1310-49, centreBin = binPos+1 (FUNcubeBPSKDemod.java:439-451)
     assert int(centres[-1]) == 1262
-    f = np.asarray(feed)
-    assert np.array_equal(f.real, f.imag)      # Q-drop quirk
+    assert np.array_equal(np.asarray(feed.re), np.asarray(feed.im))  # Q-drop
 
 
 def test_fft_tune_full_chain_decodes(rng):

@@ -42,11 +42,17 @@ def test_fir_streaming_equals_whole_block(rng):
 
 
 def test_fir_fft_matches_direct(rng):
+    from jsdr_tpu.ops.cplx import to_complex
     x = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64)
     taps = fir.bandpass_weights(27, 0, 4800, 96000)
     a = np.asarray(fir.fir_apply(jnp.asarray(x), taps))
-    b = np.asarray(fir.fir_apply_fft(jnp.asarray(x), taps))
+    b = to_complex(fir.fir_apply_fft(x, taps))
     np.testing.assert_allclose(a, b, atol=1e-4)
+    # real input stays real
+    xr = rng.normal(size=512).astype(np.float32)
+    ar = np.asarray(fir.fir_apply(jnp.asarray(xr), taps))
+    br = np.asarray(fir.fir_apply_fft(xr, taps))
+    np.testing.assert_allclose(ar, br, atol=1e-4)
 
 
 def test_polyphase_decimate_matches_reference_loop(rng):
