@@ -58,16 +58,17 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 
     x: [..., T]; returns [..., T - ntaps + 1] (y[0] corresponds to input
     index ntaps-1). Real taps, applied along the last axis.
+
+    Implemented as a shift-and-add over the (small, static) tap count:
+    1-channel 1D ``conv_general_dilated`` lowers poorly on TPU, while
+    ntaps shifted slices + fma is a pure VPU stream (memory-bound).
     """
     ntaps = taps.shape[0]
-    lead = x.shape[:-1]
-    xr = x.reshape(-1, 1, x.shape[-1])
-    k = taps[::-1].reshape(1, 1, ntaps).astype(x.dtype)
-    y = lax.conv_general_dilated(
-        xr, k, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    return y.reshape(*lead, -1)
+    t_out = x.shape[-1] - ntaps + 1
+    acc = x[..., ntaps - 1: ntaps - 1 + t_out] * taps[0]
+    for a in range(1, ntaps):
+        acc = acc + x[..., ntaps - 1 - a: ntaps - 1 - a + t_out] * taps[a]
+    return acc
 
 
 def fir_apply(x, taps: jnp.ndarray):
@@ -154,24 +155,23 @@ def polyphase_decimate(x, taps: jnp.ndarray, m: int,
     if tail is None:
         tail = jnp.zeros((*x.shape[:-1], ntaps - 1), x.dtype)
     xp = jnp.concatenate([tail, x], axis=-1)
-    # output k is taken at input instant t_k = (k+1)*m - 1; in the padded
-    # array its window starts at t_k + (m-1) relative to index m-1, i.e. a
-    # stride-m VALID convolution beginning at padded offset m-1
-    xs = xp[..., m - 1:]
-    lead = xs.shape[:-1]
-    w = taps[::-1].reshape(1, 1, ntaps).astype(
-        jnp.float32 if jnp.iscomplexobj(x) else x.dtype)
+    # output k is taken at input instant t_k = (k+1)*m - 1, i.e. padded
+    # index t_k + ntaps - 1; tap a reads padded index t_k + ntaps - 1 - a.
+    # Shift-and-add over taps with stride-m slices (see _conv_valid note).
+    n_out = t_len // m
 
-    def conv1(z):
-        zr = z.reshape(-1, 1, z.shape[-1])
-        y = lax.conv_general_dilated(
-            zr, w, window_strides=(m,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))
-        return y.reshape(*lead, -1)
+    def dec1(z):
+        acc = None
+        for a in range(ntaps):
+            start = m - 1 + ntaps - 1 - a
+            sl = lax.slice_in_dim(z, start, start + (n_out - 1) * m + 1,
+                                  stride=m, axis=z.ndim - 1)
+            acc = sl * taps[a] if acc is None else acc + sl * taps[a]
+        return acc
 
     if jnp.iscomplexobj(x):
-        y = (conv1(xs.real) + 1j * conv1(xs.imag)).astype(x.dtype)
+        y = (dec1(xp.real) + 1j * dec1(xp.imag)).astype(x.dtype)
     else:
-        y = conv1(xs)
+        y = dec1(xp)
     new_tail = xp[..., t_len:]
     return y * gain, new_tail

@@ -67,20 +67,46 @@ def _best_split(n: int) -> Optional[Tuple[int, int]]:
 def _cmatmul(wr: np.ndarray, wi: np.ndarray, x: CF,
              side: str = "left") -> CF:
     """(wr + i wi) @ x  (side="left", contract x's -2 axis) or
-    x @ (wr + i wi)^T (side="right", contract x's -1 axis)."""
+    x @ (wr + i wi)^T (side="right", contract x's -1 axis).
+
+    Reshaped to single large 2D matmuls (batch folded into the free
+    dimension) so XLA emits one clean MXU contraction per real matmul
+    instead of many small batched dots.
+    """
     wr = jnp.asarray(wr)
     wi = jnp.asarray(wi)
+    k = wr.shape[0]
     if side == "left":
-        re = jnp.einsum("kn,...nm->...km", wr, x.re) - \
-            jnp.einsum("kn,...nm->...km", wi, x.im)
-        im = jnp.einsum("kn,...nm->...km", wr, x.im) + \
-            jnp.einsum("kn,...nm->...km", wi, x.re)
-    else:
-        re = jnp.einsum("...mn,kn->...mk", x.re, wr) - \
-            jnp.einsum("...mn,kn->...mk", x.im, wi)
-        im = jnp.einsum("...mn,kn->...mk", x.im, wr) + \
-            jnp.einsum("...mn,kn->...mk", x.re, wi)
-    return CF(re, im)
+        # [..., n, m] -> 2D [n, prod(batch)*m] with n leading
+        n, m = x.shape[-2], x.shape[-1]
+        batch = x.shape[:-2]
+        perm = (x.ndim - 2,) + tuple(range(x.ndim - 2)) + (x.ndim - 1,)
+
+        def two_d(z):
+            return jnp.transpose(z, perm).reshape(n, -1)
+
+        xr, xi = two_d(x.re), two_d(x.im)
+        rr = jnp.dot(wr, xr, preferred_element_type=jnp.float32) - \
+            jnp.dot(wi, xi, preferred_element_type=jnp.float32)
+        ri = jnp.dot(wr, xi, preferred_element_type=jnp.float32) + \
+            jnp.dot(wi, xr, preferred_element_type=jnp.float32)
+
+        def back(z):
+            z = z.reshape((k,) + batch + (m,))
+            inv = tuple(range(1, x.ndim - 1)) + (0, x.ndim - 1)
+            return jnp.transpose(z, inv)
+
+        return CF(back(rr), back(ri))
+    # right: [..., m, n] @ [k, n]^T -> flatten leading dims into rows
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    xr = x.re.reshape(-1, n)
+    xi = x.im.reshape(-1, n)
+    rr = jnp.dot(xr, wr.T, preferred_element_type=jnp.float32) - \
+        jnp.dot(xi, wi.T, preferred_element_type=jnp.float32)
+    ri = jnp.dot(xi, wr.T, preferred_element_type=jnp.float32) + \
+        jnp.dot(xr, wi.T, preferred_element_type=jnp.float32)
+    return CF(rr.reshape(*lead, k), ri.reshape(*lead, k))
 
 
 def fft_cf(x: CF, inverse: bool = False) -> CF:
