@@ -224,6 +224,68 @@ def _timing_scan(mf: CF, ts: TimingState):
     return valid, bit, di, e2, new_ts
 
 
+def _const_ema_trajectory(b: jnp.ndarray, a: float,
+                          init: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+    """Full trajectory of y_g = a*y_{g-1} + b_g (y_{-1} = init) for a
+    CONSTANT scalar decay ``a``, computed as chunked triangular matmuls.
+
+    b: [G, P] (P independent lanes); returns [G, P]. Within a length-L
+    chunk, local[l] = sum_{j<=l} a^(l-j) b_j is one [L, L] lower-
+    triangular contraction (MXU); chunk carries compose through a second
+    [C, C] triangular matmul; recombination is elementwise. Exact up to
+    fp reassociation (decay powers underflow harmlessly for long spans).
+    """
+    g, p = b.shape
+    l = min(chunk, max(8, 1 << (g - 1).bit_length())) if g < chunk else chunk
+    c = -(-g // l)
+    bp = jnp.pad(b, ((0, c * l - g), (0, 0))).reshape(c, l, p)
+    k = np.arange(l)
+    tri = np.tril(np.power(a, np.maximum(k[:, None] - k[None, :], 0))
+                  * (k[:, None] >= k[None, :])).astype(np.float32)
+    local = jnp.einsum("lj,cjp->clp", jnp.asarray(tri), bp,
+                       precision=lax.Precision.HIGHEST)    # [C, L, P]
+    local_end = local[:, -1, :]                            # [C, P]
+    cc = np.arange(c)
+    dec_l = float(a) ** l
+    inter = np.where(cc[:, None] > cc[None, :],
+                     np.power(dec_l, np.maximum(cc[:, None] - 1 - cc[None, :],
+                                                0)),
+                     0.0).astype(np.float32)
+    carry_b = jnp.einsum("cd,dp->cp", jnp.asarray(inter), local_end,
+                         precision=lax.Precision.HIGHEST)  # [C, P]
+    carries = (jnp.asarray(np.power(dec_l, cc).astype(np.float32))[:, None]
+               * init[None, :] + carry_b)                  # y_{cL-1}
+    pw = jnp.asarray(np.power(a, k + 1).astype(np.float32))
+    traj = pw[None, :, None] * carries[:, None, :] + local
+    return traj.reshape(c * l, p)[:g]
+
+
+def _last_valid_prev(vals, on, init):
+    """Exclusive last-valid propagation, gather-free.
+
+    prev_t = vals[u] at the largest u < t with on[u] (init where no such
+    u); also returns the final inclusive last-valid values (the carried
+    state for the next block). Implemented as a log-shift forward fill —
+    log2(N) elementwise passes, no gather/scatter (TPU gathers cost
+    ~10 ns/elem; this is a pure VPU stream).
+    """
+    n = on.shape[0]
+    y = [jnp.where(on, v, jnp.zeros((), v.dtype)) for v in vals]
+    filled = on
+    s = 1
+    while s < n:
+        y = [jnp.where(filled, v,
+                       jnp.concatenate([jnp.zeros(s, v.dtype), v[:-s]]))
+             for v in y]
+        filled = filled | jnp.concatenate(
+            [jnp.zeros(s, bool), filled[:-s]])
+        s *= 2
+    prev = [jnp.concatenate([i0[None], jnp.where(filled[:-1], v[:-1], i0)])
+            for v, i0 in zip(y, init)]
+    fin = [jnp.where(filled[-1], v[-1], i0) for v, i0 in zip(y, init)]
+    return prev, fin
+
+
 def _timing_parallel(mf: CF, ts: TimingState):
     """Fully parallel timing recovery — same decisions as ``_timing_scan``
     without a per-sample recurrence.
@@ -255,15 +317,15 @@ def _timing_parallel(mf: CF, ts: TimingState):
     fq = mf.im.astype(jnp.float32).reshape(g, SAMPLES_PER_BIT)
     e1 = fi * fi + fq * fq
 
-    # lane EMAs over groups: y_g = a*y_{g-1} + b_g, prefix-composed
-    a_full = jnp.full_like(e1, 1.0 - BIT_SMOOTH1)
-    b_full = e1 * BIT_SMOOTH1
-
-    def affine(x, y):
-        return (x[0] * y[0], x[1] * y[0] + y[1])
-
-    pa, pb = lax.associative_scan(affine, (a_full, b_full), axis=0)
-    e_ema_traj = pa * ts.e_ema[None, :] + pb          # [G, 8] after group g
+    # Lane EMAs over groups: y_g = a*y_{g-1} + b_g with CONSTANT decay a.
+    # A generic associative_scan materializes log(G) full-size
+    # intermediates; with constant a the prefix is a weighted cumsum, so
+    # compute it chunked as triangular MXU matmuls (the linear-RNN-as-
+    # matmul trick): within length-L chunks local[l] = sum_{j<=l}
+    # a^(l-j) b_j via a lower-triangular [L, L] matrix, then the C chunk
+    # carries via one [C, C] triangular matmul, then recombine.
+    e_ema_traj = _const_ema_trajectory(
+        e1 * BIT_SMOOTH1, 1.0 - BIT_SMOOTH1, ts.e_ema)     # [G, 8]
     a_of_g = jnp.argmax(e_ema_traj, axis=1).astype(jnp.int32)  # first max
 
     np0 = jnp.concatenate([ts.new_peak[None], a_of_g[:-1]])
@@ -272,21 +334,18 @@ def _timing_parallel(mf: CF, ts: TimingState):
 
     slot_p = jnp.stack([peak0, np0], axis=-1)                  # [G, 2]
     slot_on = jnp.stack([peak0 <= h, np0 > h], axis=-1)        # [G, 2]
-    gi = jnp.arange(g)[:, None]
-    vi = fi[gi, slot_p].reshape(-1)                            # [2G]
-    vq = fq[gi, slot_p].reshape(-1)
+    # slot extraction as one-hot masked sums (gathers on a minor dim of 8
+    # lower terribly on TPU; a select+reduce is a pure VPU stream)
+    oh = slot_p[:, :, None] == jnp.arange(SAMPLES_PER_BIT)[None, None, :]
+    vi = jnp.sum(jnp.where(oh, fi[:, None, :], 0.0), axis=-1).reshape(-1)
+    vq = jnp.sum(jnp.where(oh, fq[:, None, :], 0.0), axis=-1).reshape(-1)
+    e1_slots = jnp.sum(jnp.where(oh, e1[:, None, :], 0.0), axis=-1).reshape(-1)
     on = slot_on.reshape(-1)
 
-    # previous-valid propagation (exclusive) seeded by the carried dmLastIQ
-    def keep_last(x, y):
-        return tuple(jnp.where(y[2], yy, xx) for xx, yy in zip(x, y))
-
-    li, lq_, lh = lax.associative_scan(
-        keep_last, (vi, vq, on), axis=0)
-    prev_i = jnp.concatenate([ts.last_iq[0][None],
-                              jnp.where(lh[:-1], li[:-1], ts.last_iq[0])])
-    prev_q = jnp.concatenate([ts.last_iq[1][None],
-                              jnp.where(lh[:-1], lq_[:-1], ts.last_iq[1])])
+    # previous-valid propagation (exclusive) seeded by the carried
+    # dmLastIQ — chunked, gather-free (see _last_valid_prev)
+    (prev_i, prev_q), (fin_i, fin_q) = _last_valid_prev(
+        (vi, vq), on, (ts.last_iq[0], ts.last_iq[1]))
 
     di = -(prev_i * vi + prev_q * vq)
     dq = prev_i * vq - prev_q * vi
@@ -294,16 +353,18 @@ def _timing_parallel(mf: CF, ts: TimingState):
     valid = on & (e2 > ENERGY_GATE)
     bit = di < 0.0
 
-    # e_out EMA only at emissions (display diagnostic), same affine trick
-    e1_slots = e1[gi, slot_p].reshape(-1)
-    ea = jnp.where(on, 1.0 - BIT_SMOOTH2, 1.0)
-    eb = jnp.where(on, e1_slots * BIT_SMOOTH2, 0.0)
-    qa, qb = lax.associative_scan(affine, (ea, eb), axis=0)
-    e_out = qa[-1] * ts.e_out + qb[-1]
+    # e_out EMA only at emissions (display diagnostic). Only the FINAL
+    # value is needed: y_end = (1-s)^n_on * y0 + sum_t on_t s e1_t
+    # (1-s)^(#emissions after t) — a masked weighted sum, no scan at all.
+    onf = on.astype(jnp.float32)
+    n_on = jnp.sum(onf)
+    log_d = np.float32(np.log1p(-BIT_SMOOTH2))
+    tail_cnt = n_on - jnp.cumsum(onf)            # emissions strictly after t
+    e_out = (jnp.exp(n_on * log_d) * ts.e_out
+             + jnp.sum(onf * e1_slots * BIT_SMOOTH2
+                       * jnp.exp(tail_cnt * log_d)))
 
-    new_last = jnp.stack([
-        jnp.where(lh[-1], li[-1], ts.last_iq[0]),
-        jnp.where(lh[-1], lq_[-1], ts.last_iq[1])])
+    new_last = jnp.stack([fin_i, fin_q])
     new_ts = TimingState(
         e_ema=e_ema_traj[-1], pos=ts.pos, peak=np0[-1],
         new_peak=a_of_g[-1], e_out=e_out.astype(jnp.float32),
@@ -312,23 +373,62 @@ def _timing_parallel(mf: CF, ts: TimingState):
 
 
 def _compact_bits(valid: jnp.ndarray, bit: jnp.ndarray, max_bits: int):
-    """Scatter valid +-1 bits into a fixed [max_bits] buffer, in order."""
+    """Scatter valid +-1 bits into a fixed [max_bits] buffer, in order.
+
+    (i32 scatter: TPU scatters of sub-word element types are slower.)"""
     slot = jnp.cumsum(valid.astype(jnp.int32)) - 1
     n_bits = jnp.minimum(slot[-1] + 1, max_bits) if valid.shape[0] else 0
-    pm = jnp.where(bit, jnp.int8(1), jnp.int8(-1))
-    out = jnp.zeros(max_bits, jnp.int8)
+    pm = jnp.where(bit, jnp.int32(1), jnp.int32(-1))
+    out = jnp.zeros(max_bits, jnp.int32)
     tgt = jnp.where(valid & (slot < max_bits), slot, max_bits)
     out = out.at[tgt].set(pm, mode="drop")
-    return out, n_bits
+    return out.astype(jnp.int8), n_bits
+
+
+def _first_k_indices(mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the first k True entries of mask (-1 padded), without
+    jnp.nonzero (whose fixed-size form lowers to an expensive sort)."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32))            # inclusive
+    j = jnp.arange(n, dtype=jnp.int32)
+    want = jnp.arange(1, k + 1, dtype=jnp.int32)[:, None]
+    cand = jnp.where(mask[None, :] & (rank[None, :] == want), j[None, :], n)
+    idx = jnp.min(cand, axis=1)
+    return jnp.where(idx < n, idx, -1)
 
 
 def sync_correlate(window_buf: jnp.ndarray) -> jnp.ndarray:
-    """corr_j = sum_n W[j + 80n] * SYNC[n] for every candidate end position
-    j (:556-559). window_buf: [5199 + max_bits] of +/-1/0."""
+    """corr_j = sum_n W[j + 80n] * SYNC[n] for every candidate start
+    position j (:556-559). window_buf: [5199 + max_bits] of +/-1/0.
+
+    The taps sit at stride 80, so decompose j = 80q + r: with
+    WT[r, u] = W[80u + r] (one reshape+transpose), corr[80q + r] =
+    sum_n WT[r, q + n] * SYNC[n] — 65 contiguous row slices instead of a
+    [max_bits, 65] gather (which lowers disastrously on TPU)."""
     max_bits = window_buf.shape[-1] - (FEC_BITS - 1)
-    idx = np.arange(max_bits)[:, None] + 80 * np.arange(65)[None, :]
-    taps = window_buf[idx].astype(jnp.int32)          # [max_bits, 65]
-    return taps @ jnp.asarray(_SYNC)
+    length = window_buf.shape[-1]
+    u = -(-length // 80)
+    w = jnp.pad(window_buf.astype(jnp.float32), (0, 80 * u - length))
+    wt = w.reshape(u, 80).T                           # [80, U]
+    n_q = -(-max_bits // 80)
+    sync = jnp.asarray(_SYNC.astype(np.float32))
+    acc = None
+    for n in range(65):
+        sl = wt[:, n: n + n_q] * sync[n]
+        acc = sl if acc is None else acc + sl
+    # back to chronological j = 80q + r ordering (sums of +-1 are exact)
+    return acc.T.reshape(-1)[:max_bits].astype(jnp.int32)
+
+
+def _roll_left(w: jnp.ndarray, n: jnp.ndarray, max_n: int) -> jnp.ndarray:
+    """w rolled left by a TRACED amount n (0 <= n <= max_n), as log2
+    conditional static shifts. A vmapped dynamic_slice/roll lowers to a
+    per-element gather on TPU; this stays a pure VPU select stream."""
+    for k in range(max(1, max_n).bit_length()):
+        s = 1 << k
+        rolled = jnp.concatenate([w[s:], w[:s]])
+        w = jnp.where((n >> k) & 1 == 1, rolled, w)
+    return w
 
 
 def soft_frames_from_bits(bits: jnp.ndarray, n_bits: jnp.ndarray,
@@ -343,19 +443,21 @@ def soft_frames_from_bits(bits: jnp.ndarray, n_bits: jnp.ndarray,
     corr = sync_correlate(w)
     j = jnp.arange(corr.shape[0])
     hits = (corr >= SYNC_THRESHOLD) & (j < n_bits)
-    (hit_idx,) = jnp.nonzero(hits, size=max_hits, fill_value=-1)
+    hit_idx = _first_k_indices(hits, max_hits)
     hit_ok = hit_idx >= 0
+    w_len = w.shape[0]
 
     def extract(idx):
-        start = jnp.clip(idx, 0, w.shape[0] - FEC_BITS)
-        win = lax.dynamic_slice(w, (start,), (FEC_BITS,))
+        start = jnp.clip(idx, 0, w_len - FEC_BITS)
+        win = _roll_left(w, start, w_len - FEC_BITS)[:FEC_BITS]
         return jnp.where(win == 1, jnp.uint8(0xC0), jnp.uint8(0x40))
 
     windows = jax.vmap(extract)(jnp.where(hit_ok, hit_idx, 0))
     windows = jnp.where(hit_ok[:, None], windows, jnp.uint8(0x40))
     hit_corr = jnp.where(hit_ok, corr[jnp.where(hit_ok, hit_idx, 0)], 0)
     n_hits = jnp.sum(hit_ok.astype(jnp.int32))
-    new_ring = lax.dynamic_slice(w, (n_bits,), (FEC_BITS - 1,)).astype(jnp.int8)
+    new_ring = _roll_left(w, n_bits, w_len - (FEC_BITS - 1)
+                          )[:FEC_BITS - 1].astype(jnp.int8)
     return windows, hit_corr, n_hits, new_ring
 
 

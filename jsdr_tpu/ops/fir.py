@@ -53,22 +53,56 @@ def bandpass_weights(ntaps: int, f_lo: float, f_hi: float, rate: float,
     return jnp.asarray(w, dtype)
 
 
+def _banded_matmul_fir(z: jnp.ndarray, taps: jnp.ndarray, m: int,
+                       n_out: int,
+                       precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Decimate-by-m FIR y[k] = sum_a z[s_a + k*m] * taps[a] with
+    s_a = (m-1) + (ntaps-1) - a, as blocks of 128 outputs x ONE dense
+    matmul against a static banded tap matrix (im2col via a single
+    shifted-row concat). Strided slices / minor-dim transposes lower
+    poorly on TPU; this runs on the MXU with aligned contiguous reads.
+
+    z: [..., >= n_out*m + ntaps - 1] padded input; returns [..., n_out].
+    """
+    ntaps = taps.shape[0]
+    block = 128
+    span = block * m
+    ext = -(-(ntaps - 1) // block) * block       # lane-aligned halo
+    nb = -(-n_out // block)
+    i_idx = np.arange(span + ext)[:, None]
+    o_idx = np.arange(block)[None, :]
+    a_idx = o_idx * m + (m - 1) + (ntaps - 1) - i_idx
+    w_mask = (a_idx >= 0) & (a_idx < ntaps)
+    w_full = np.where(w_mask, a_idx, 0)
+    tapmat = jnp.where(jnp.asarray(w_mask),
+                       taps[jnp.asarray(w_full)],
+                       jnp.zeros((), taps.dtype))        # [span+ext, block]
+    lead = z.shape[:-1]
+    width = span + ext
+    qrows = -(-width // span)                # shifted row-slices needed
+    nrows = max(nb + qrows - 1, -(-z.shape[-1] // span))
+    zp = jnp.pad(z, [(0, 0)] * (z.ndim - 1)
+                 + [(0, nrows * span - z.shape[-1])])
+    rows = zp.reshape(*lead, nrows, span)
+    parts = []
+    for b in range(qrows):
+        cols = min(span, width - b * span)
+        parts.append(rows[..., b:b + nb, :cols])
+    zcat = jnp.concatenate(parts, axis=-1)   # [.., nb, span+ext]
+    y = jnp.matmul(zcat, tapmat, precision=precision)
+    return y.reshape(*lead, nb * block)[..., :n_out]
+
+
 def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     """Causal FIR y[t] = sum_a x[t-a] * taps[a] over the valid region.
 
     x: [..., T]; returns [..., T - ntaps + 1] (y[0] corresponds to input
-    index ntaps-1). Real taps, applied along the last axis.
-
-    Implemented as a shift-and-add over the (small, static) tap count:
-    1-channel 1D ``conv_general_dilated`` lowers poorly on TPU, while
-    ntaps shifted slices + fma is a pure VPU stream (memory-bound).
+    index ntaps-1). Real taps, applied along the last axis — the m=1
+    banded-matmul FIR (see _banded_matmul_fir).
     """
     ntaps = taps.shape[0]
     t_out = x.shape[-1] - ntaps + 1
-    acc = x[..., ntaps - 1: ntaps - 1 + t_out] * taps[0]
-    for a in range(1, ntaps):
-        acc = acc + x[..., ntaps - 1 - a: ntaps - 1 - a + t_out] * taps[a]
-    return acc
+    return _banded_matmul_fir(x, taps, 1, t_out)
 
 
 def fir_apply(x, taps: jnp.ndarray):
@@ -156,18 +190,12 @@ def polyphase_decimate(x, taps: jnp.ndarray, m: int,
         tail = jnp.zeros((*x.shape[:-1], ntaps - 1), x.dtype)
     xp = jnp.concatenate([tail, x], axis=-1)
     # output k is taken at input instant t_k = (k+1)*m - 1, i.e. padded
-    # index t_k + ntaps - 1; tap a reads padded index t_k + ntaps - 1 - a.
-    # Shift-and-add over taps with stride-m slices (see _conv_valid note).
+    # index t_k + ntaps - 1; tap a reads padded index s_a + k*m with
+    # s_a = (m-1) + (ntaps-1) - a — the banded-matmul FIR (MXU).
     n_out = t_len // m
 
     def dec1(z):
-        acc = None
-        for a in range(ntaps):
-            start = m - 1 + ntaps - 1 - a
-            sl = lax.slice_in_dim(z, start, start + (n_out - 1) * m + 1,
-                                  stride=m, axis=z.ndim - 1)
-            acc = sl * taps[a] if acc is None else acc + sl * taps[a]
-        return acc
+        return _banded_matmul_fir(z, taps, m, n_out)
 
     if jnp.iscomplexobj(x):
         y = (dec1(xp.real) + 1j * dec1(xp.imag)).astype(x.dtype)

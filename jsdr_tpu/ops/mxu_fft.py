@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,59 +55,54 @@ def _twiddles(n1: int, n2: int, sign: float) -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.lru_cache(maxsize=64)
 def _best_split(n: int) -> Optional[Tuple[int, int]]:
-    """Factor n = n1*n2 with both parts <= _MAX_FACTOR, most balanced."""
+    """Factor n = n1*n2 with both parts <= _MAX_FACTOR.
+
+    Prefers a lane-aligned n2 (multiple of 128, the TPU lane width) so
+    the stage-1 result and twiddle streams are perfectly tiled; among
+    candidates with the same alignment, the most balanced split wins."""
     best = None
+    best_key = None
     for n1 in range(2, int(np.sqrt(n)) + 1):
         if n % n1 == 0:
             n2 = n // n1
             if n1 <= _MAX_FACTOR and n2 <= _MAX_FACTOR:
-                best = (n1, n2)   # later = more balanced
+                for a, b in ((n1, n2), (n2, n1)):
+                    key = (b % 128 == 0, b % 8 == 0, -abs(a - b))
+                    if best_key is None or key > best_key:
+                        best, best_key = (a, b), key
     return best
+
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dg(z: jnp.ndarray, w: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract z's ``axis`` (-1 or -2) with w's axis 1 ([k, c]).
+
+    axis=-2 yields [..., m, k]; axis=-1 yields [..., k]. A direct
+    dot_general so XLA never materializes a transposed copy of z."""
+    cdim = z.ndim + axis
+    return jax.lax.dot_general(
+        z, w, (((cdim,), (1,)), ((), ())),
+        precision=_PRECISION, preferred_element_type=jnp.float32)
 
 
 def _cmatmul(wr: np.ndarray, wi: np.ndarray, x: CF,
              side: str = "left") -> CF:
-    """(wr + i wi) @ x  (side="left", contract x's -2 axis) or
-    x @ (wr + i wi)^T (side="right", contract x's -1 axis).
+    """Complex contraction of x by the DFT matrix (wr + i wi) [k, c].
 
-    Reshaped to single large 2D matmuls (batch folded into the free
-    dimension) so XLA emits one clean MXU contraction per real matmul
-    instead of many small batched dots.
+    side="left": contract x's -2 axis -> [..., m, k]  (NOTE: the result's
+    free axis order swaps relative to w @ x — callers account for it).
+    side="right": contract x's -1 axis -> [..., k].
+    Four real dot_generals per complex matmul — exactly what the MXU
+    wants; no data transposes are emitted.
     """
     wr = jnp.asarray(wr)
     wi = jnp.asarray(wi)
-    k = wr.shape[0]
-    if side == "left":
-        # [..., n, m] -> 2D [n, prod(batch)*m] with n leading
-        n, m = x.shape[-2], x.shape[-1]
-        batch = x.shape[:-2]
-        perm = (x.ndim - 2,) + tuple(range(x.ndim - 2)) + (x.ndim - 1,)
-
-        def two_d(z):
-            return jnp.transpose(z, perm).reshape(n, -1)
-
-        xr, xi = two_d(x.re), two_d(x.im)
-        rr = jnp.dot(wr, xr, preferred_element_type=jnp.float32) - \
-            jnp.dot(wi, xi, preferred_element_type=jnp.float32)
-        ri = jnp.dot(wr, xi, preferred_element_type=jnp.float32) + \
-            jnp.dot(wi, xr, preferred_element_type=jnp.float32)
-
-        def back(z):
-            z = z.reshape((k,) + batch + (m,))
-            inv = tuple(range(1, x.ndim - 1)) + (0, x.ndim - 1)
-            return jnp.transpose(z, inv)
-
-        return CF(back(rr), back(ri))
-    # right: [..., m, n] @ [k, n]^T -> flatten leading dims into rows
-    n = x.shape[-1]
-    lead = x.shape[:-1]
-    xr = x.re.reshape(-1, n)
-    xi = x.im.reshape(-1, n)
-    rr = jnp.dot(xr, wr.T, preferred_element_type=jnp.float32) - \
-        jnp.dot(xi, wi.T, preferred_element_type=jnp.float32)
-    ri = jnp.dot(xi, wr.T, preferred_element_type=jnp.float32) + \
-        jnp.dot(xr, wi.T, preferred_element_type=jnp.float32)
-    return CF(rr.reshape(*lead, k), ri.reshape(*lead, k))
+    axis = -2 if side == "left" else -1
+    rr = _dg(x.re, wr, axis) - _dg(x.im, wi, axis)
+    ri = _dg(x.re, wi, axis) + _dg(x.im, wr, axis)
+    return CF(rr, ri)
 
 
 def fft_cf(x: CF, inverse: bool = False) -> CF:
@@ -120,17 +116,16 @@ def fft_cf(x: CF, inverse: bool = False) -> CF:
     split = _best_split(n)
     if split is None:
         wr, wi = _dft_mats(n, sign)
-        y = _cmatmul(wr, wi, x.reshape(*x.shape[:-1], n, 1), "left")
-        y = y.reshape(*x.shape)
+        y = _cmatmul(wr, wi, x, "right")                   # [..., k]
     else:
         n1, n2 = split
         a = x.reshape(*x.shape[:-1], n1, n2)
         w1r, w1i = _dft_mats(n1, sign)
-        b = _cmatmul(w1r, w1i, a, "left")                  # [..., k1, n2]
+        b = _cmatmul(w1r, w1i, a, "left")                  # [..., n2, k1]
         twr, twi = _twiddles(n1, n2, sign)
-        c = b * CF(jnp.asarray(twr), jnp.asarray(twi))
+        c = b * CF(jnp.asarray(twr.T.copy()), jnp.asarray(twi.T.copy()))
         w2r, w2i = _dft_mats(n2, sign)
-        d = _cmatmul(w2r, w2i, c, "right")                 # [..., k1, k2]
+        d = _cmatmul(w2r, w2i, c, "left")                  # [..., k1, k2]
         y = d.swapaxes(-1, -2).reshape(*x.shape)           # X[N1*k2+k1]
     if inverse:
         y = y * jnp.float32(1.0 / n)
