@@ -39,7 +39,7 @@ def main():
     from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_block_batch, bpsk_init_batch
     from jsdr_tpu.io.sources import synth_bpsk_stream
     from jsdr_tpu.ops.cplx import from_complex
-    from jsdr_tpu.ops.spectrum import spectrum_block
+    from jsdr_tpu.ops.spectrum import spectrum_wide
     from jsdr_tpu.runtime.tpu import ensure_tpu_ready
 
     dev = jax.devices()[0]
@@ -70,8 +70,11 @@ def main():
 
     @jax.jit
     def step(iq, states):
-        spec = spectrum_block(
-            iq.reshape(-1, fft_n), rate=float(rate), window=True)
+        # fused Pallas spectrum straight off the wide stream layout;
+        # permuted frequency order (natural = n1*k2 + k1) — see
+        # ops.pallas_kernels.spectrum_fused
+        spec = spectrum_wide(iq, fft_n, rate=float(rate), window=True,
+                             natural=False)
         out, new_states = bpsk_block_batch(iq, cfg, states)
         # force every output tensor (no DCE of the windows/sync path)
         forced = (spec.psd.sum() + spec.peak_db.sum()

@@ -60,6 +60,45 @@ def spectrum_block(iq, rate: float, window: bool = True) -> SpectrumResult:
     return SpectrumResult(psd, peak_freq.astype(jnp.int32), peak_db)
 
 
+def spectrum_wide(iq, n: int, rate: float, window: bool = True,
+                  natural: bool = True,
+                  interpret: bool | None = None) -> SpectrumResult:
+    """Spectrum over contiguous [S, T] stream rows, n samples per block.
+
+    Avoids the [S, T] -> [S*T/n, n] device reshape (an expensive TPU
+    tile re-shuffle) by computing window+FFT+PSD inside one Pallas
+    kernel that reads the wide rows directly
+    (:func:`jsdr_tpu.ops.pallas_kernels.spectrum_fused`). Falls back to
+    reshape + :func:`spectrum_block` when n doesn't fit the kernel
+    (n % 128 != 0 or n1 > 512). Results have leading shape [S, T//n].
+
+    ``natural=False`` keeps the PSD in the kernel's permuted layout
+    [T//n, S, n1, 128] (natural bin = n1*k2 + k1), skipping one
+    relayout — peaks are always in natural (signed-Hz) convention.
+    """
+    from .pallas_kernels import spectrum_fused, spectrum_natural_order
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    iq = as_cf(iq)
+    s, t = iq.shape
+    assert t % n == 0
+    if n % 128 != 0 or n // 128 > 512:
+        return spectrum_block(iq.reshape(s, t // n, n), rate=rate,
+                              window=window)
+    psd_perm = spectrum_fused(iq, n, window=window, interpret=interpret)
+    nblk, _, n1, n2 = psd_perm.shape
+    flat = psd_perm.reshape(nblk, s, n1 * n2)
+    p = jnp.argmax(flat, axis=-1)
+    peak_db = jnp.take_along_axis(flat, p[..., None], axis=-1)[..., 0]
+    k_nat = n1 * (p % n2) + p // n2
+    signed = jnp.where(k_nat < n // 2, k_nat, k_nat - n)
+    peak_freq = ((signed * int(rate)) // n).astype(jnp.int32)
+    psd = spectrum_natural_order(psd_perm) if natural else psd_perm
+    return SpectrumResult(psd, jnp.swapaxes(peak_freq, 0, 1),
+                          jnp.swapaxes(peak_db, 0, 1))
+
+
 @jax.jit
 def waterfall_intensity(psd: jnp.ndarray) -> jnp.ndarray:
     """Map dBFS PSD lines to 0..255 intensity as the waterfall display does

@@ -10,6 +10,14 @@ reference numerically.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def hamming_np(n: int) -> np.ndarray:
+    """Host-side (numpy) Hamming with the reference's period-N convention
+    — for baking into kernels as a compile-time constant."""
+    s = np.arange(n, dtype=np.float64)
+    return (0.54 - 0.46 * np.cos(2 * np.pi * s / n)).astype(np.float32)
 
 
 def hamming(n: int, dtype=jnp.float32) -> jnp.ndarray:

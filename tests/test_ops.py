@@ -131,3 +131,22 @@ def test_pallas_psd_waterfall_matches_reference(rng):
                                  use_pallas=False)
     np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), atol=1e-4)
     assert np.array_equal(np.asarray(line_p), np.asarray(line_r))
+
+
+def test_spectrum_fused_matches_block():
+    """The fused Pallas wide-layout spectrum equals reshape+spectrum_block."""
+    import numpy as np
+    from jsdr_tpu.ops.cplx import from_complex
+    from jsdr_tpu.ops.spectrum import spectrum_block, spectrum_wide
+
+    rng = np.random.default_rng(3)
+    s, t, n = 3, 2 * 1280, 1280   # n1 = 10, n2 = 128
+    sig = (rng.standard_normal((s, t))
+           + 1j * rng.standard_normal((s, t))).astype(np.complex64)
+    cf = from_complex(sig)
+    ref = spectrum_block(cf.reshape(s, t // n, n), rate=9600.0, window=True)
+    got = spectrum_wide(cf, n, rate=9600.0, window=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.psd), np.asarray(ref.psd),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.peak_freq),
+                                  np.asarray(ref.peak_freq))
