@@ -8,6 +8,9 @@ Subcommands mirror the reference's tabs:
 - ``telemetry``: FUNcube BPSK -> AO-40 FEC frame extraction
   (FUNcubeBPSKDemod.java + FECDecoder.java)
 - ``record``: re-write a source as raw S16LE IQ (recorder.java)
+- ``phase``: constellation + I/Q trace scope (phase.java)
+- ``fir``: FIR design/testbench (the standalone fir.java console tool)
+- ``fcd``: FUNcube Dongle control/self-test (FCD.java main())
 
 Config: ``--config jsdr.properties`` loads a java-properties-style file
 using the REFERENCE's key schema (audio-rate, audio-ic/qc, fft-hamming,
@@ -209,6 +212,93 @@ def cmd_synth(args):
     print(f"{len(iq)} samples ({len(iq)/rate:.2f}s) -> {args.out}")
 
 
+def cmd_phase(args):
+    """Phase-scope: constellation + I/Q traces (phase.java analog)."""
+    from ..display import phase_scope_data, render_phase_png, \
+        render_trace_ascii
+
+    iq, rate = _load_iq(args, args.rate)
+    block = rate // 10                     # one reference display block
+    data = phase_scope_data(iq[:block], width=args.width)
+    print(f"block of {block} samples at {rate} S/s; "
+          f"autoscale max |I/Q| = {data.max_abs:.4f}")
+    if args.ascii:
+        print("I trace:")
+        print(render_trace_ascii(data.i_trace))
+        print("Q trace:")
+        print(render_trace_ascii(data.q_trace))
+    if args.png:
+        render_phase_png(args.png, data.points, data.i_trace, data.q_trace)
+        print(f"phase scope -> {args.png}")
+
+
+def cmd_fir(args):
+    """FIR-design testbench — the fir.java console tool's roles, headless:
+    design a windowed-sinc band-pass (fir.java:166-195), push a noise or
+    sine source through it (fir.java:198-211, 230-238), optionally mix
+    with a complex NCO (fir.java:214-228), and write/inspect the result.
+    Band edges support the demod tab's move/widen steps
+    (demod.java:305-317)."""
+    import jax.numpy as jnp
+    from ..io.convert import complex_to_s16le
+    from ..ops.fir import bandpass_weights, fir_apply
+    from ..ops.nco import phase_ramp, mix_complex
+
+    flo, fhi = float(args.flo), float(args.fhi)
+    flo += args.move * 250.0
+    fhi += args.move * 250.0
+    flo -= args.widen * 250.0
+    fhi += args.widen * 250.0
+    taps = bandpass_weights(args.taps, flo, fhi, float(args.rate))
+    if args.print_taps:
+        print(f"{args.taps}-tap band-pass [{flo:.0f}, {fhi:.0f}] Hz "
+              f"@ {args.rate} S/s:")
+        for i, t in enumerate(np.asarray(taps)):
+            print(f"  w[{i:2d}] = {t:+.8f}")
+    iq, rate = _load_iq(args, args.rate)
+    sig = jnp.asarray(iq)
+    if args.mix is not None:
+        phases, _ = phase_ramp(len(iq), jnp.zeros(()),
+                               2 * np.pi * args.mix / rate)
+        sig = mix_complex(sig, phases)
+    if not args.no_filter:
+        sig = fir_apply(sig, taps)
+    out_np = np.asarray(sig)
+    rms = float(np.sqrt(np.mean(np.abs(out_np) ** 2)))
+    print(f"{len(out_np)} samples out; rms={rms:.5f}")
+    if args.out:
+        with open(args.out, "wb") as fh:
+            fh.write(complex_to_s16le(out_np))
+        print(f"-> {args.out} (raw S16LE IQ)")
+
+
+def cmd_fcd(args):
+    """FUNcube Dongle control / self-test (FCD.java:262-313 analog).
+    Degrades to a clear 'no FCD' report when fcdctl/hardware is absent."""
+    from ..io.fcd import FCD
+    fcd = FCD(binary=args.fcdctl)
+    if not fcd.available():
+        print("no FCD detected (fcdctl missing or no dongle)")
+        return 1
+    st = fcd.status()
+    print(f"FCD {st.version}, freq = "
+          f"{st.freq_khz if st.freq_khz is not None else '?'} kHz, "
+          f"default rate = {fcd.default_rate()} S/s")
+    if args.action == "tune":
+        ok = fcd.set_freq_khz(int(args.khz))
+        print(f"tune {args.khz} kHz: {'ok' if ok else 'FAILED'}")
+    elif args.action == "reset":
+        print(f"reset: {'ok' if fcd.reset() else 'FAILED'}")
+    elif args.action == "selftest":
+        # the reference's main(): probe, tune 100 MHz then 107.5 MHz
+        for khz in (100000, 107500):
+            ok = fcd.set_freq_khz(khz)
+            st = fcd.status(refresh=True)
+            print(f"tune {khz} kHz: {'ok' if ok else 'FAILED'} "
+                  f"(readback {st.freq_khz if st else '?'} kHz)")
+    return 0
+
+
 def cmd_record(args):
     from ..io.recorder import RawRecorder
     iq, rate = _load_iq(args, args.rate)
@@ -272,6 +362,37 @@ def main(argv=None):
     sy.add_argument("--seed", type=int, default=0)
     sy.add_argument("--out", default="synth.raw")
     sy.set_defaults(fn=cmd_synth)
+
+    ph = sub.add_parser("phase", help="phase scope: constellation + I/Q traces")
+    ph.add_argument("source")
+    ph.add_argument("--width", type=int, default=512)
+    ph.add_argument("--ascii", action="store_true")
+    ph.add_argument("--png")
+    ph.set_defaults(fn=cmd_phase)
+
+    fr = sub.add_parser("fir", help="FIR design/testbench (fir.java analog)")
+    fr.add_argument("source", nargs="?", default="noise")
+    fr.add_argument("--taps", type=int, default=21)
+    fr.add_argument("--flo", type=float, default=-3000.0)
+    fr.add_argument("--fhi", type=float, default=3000.0)
+    fr.add_argument("--move", type=int, default=0,
+                    help="shift band by N x 250 Hz (demod.java:305-311)")
+    fr.add_argument("--widen", type=int, default=0,
+                    help="widen band by N x 250 Hz each side")
+    fr.add_argument("--mix", type=float, default=None,
+                    help="complex NCO mix frequency before filtering")
+    fr.add_argument("--no-filter", action="store_true",
+                    help="bypass the FIR (the testbench's disable command)")
+    fr.add_argument("--print-taps", action="store_true")
+    fr.add_argument("--out", default=None)
+    fr.set_defaults(fn=cmd_fir)
+
+    fc = sub.add_parser("fcd", help="FUNcube Dongle control/self-test")
+    fc.add_argument("action", choices=["status", "tune", "reset", "selftest"],
+                    nargs="?", default="status")
+    fc.add_argument("--khz", type=int, default=100000)
+    fc.add_argument("--fcdctl", help="path to the fcdctl binary")
+    fc.set_defaults(fn=cmd_fcd)
 
     rc = sub.add_parser("record", help="write source as raw S16LE IQ")
     rc.add_argument("source")

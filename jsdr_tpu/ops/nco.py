@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 SINCOS_SIZE = 256  # FUNcubeBPSKDemod.java:93
 TWO_PI = 2.0 * jnp.pi

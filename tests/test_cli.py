@@ -62,3 +62,42 @@ def test_cli_record(fixture_file, capsys, tmp_path):
     main(["--cpu", "--rate", "96000", "--seconds", "1", "record",
           f"file:{fixture_file}", "--out", out_f])
     assert (tmp_path / "cap.raw").stat().st_size == 96000 * 4
+
+
+def test_cli_phase(capsys, tmp_path):
+    png = str(tmp_path / "ph.png")
+    main(["--cpu", "--rate", "44100", "--seconds", "1", "phase",
+          "file:/root/reference/sine4410.raw", "--ascii", "--png", png])
+    out = capsys.readouterr().out
+    assert "autoscale max" in out and "I trace" in out
+    assert (tmp_path / "ph.png").stat().st_size > 0
+
+
+def test_cli_fir_testbench(capsys, tmp_path):
+    """fir.java analog: design taps, filter a sine, NCO mix, write out."""
+    out_f = str(tmp_path / "f.raw")
+    main(["--cpu", "--rate", "44100", "--seconds", "1", "fir",
+          "sine:4410", "--print-taps", "--out", out_f])
+    out = capsys.readouterr().out
+    assert "21-tap band-pass [-3000, 3000] Hz" in out
+    # center tap of the all-band design must dominate; in-band 4410 Hz...
+    # band is [-3000,3000] so a 4410 real tone is attenuated vs --no-filter
+    main(["--cpu", "--rate", "44100", "--seconds", "1", "fir",
+          "sine:4410", "--no-filter"])
+    rms_open = float(capsys.readouterr().out.split("rms=")[1].split()[0])
+    main(["--cpu", "--rate", "44100", "--seconds", "1", "fir",
+          "sine:4410"])
+    rms_filt = float(capsys.readouterr().out.split("rms=")[1].split()[0])
+    assert rms_filt < 0.5 * rms_open
+    # widening the band by 8x250 Hz each side brings the tone back in-band
+    main(["--cpu", "--rate", "44100", "--seconds", "1", "fir",
+          "sine:4410", "--widen", "8"])
+    rms_wide = float(capsys.readouterr().out.split("rms=")[1].split()[0])
+    assert rms_wide > 2.0 * rms_filt
+    assert (tmp_path / "f.raw").stat().st_size > 0
+
+
+def test_cli_fcd_degrades(capsys):
+    rc = main(["fcd", "status", "--fcdctl", "/nonexistent/fcdctl"])
+    assert rc == 1
+    assert "no FCD" in capsys.readouterr().out
