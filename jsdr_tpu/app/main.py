@@ -189,7 +189,6 @@ def cmd_telemetry(args):
 def cmd_synth(args):
     """Generate test fixtures (the fir.java testbench roles: noise, sine,
     NCO-mixed carriers, and full BPSK telemetry bursts)."""
-    from ..io.convert import complex_to_s16le
     from ..io.sources import synth_bpsk_stream, synth_noise, synth_sine
     rate = args.rate
     if args.kind == "sine":
@@ -207,9 +206,20 @@ def cmd_synth(args):
                                noise_rms=args.noise)
         np.save(args.out + ".payloads.npy", payloads)
         print(f"{n_frames} frame payloads -> {args.out}.payloads.npy")
-    with open(args.out, "wb") as fh:
-        fh.write(complex_to_s16le(iq))
+    _write_iq_file(args.out, iq, rate)
     print(f"{len(iq)} samples ({len(iq)/rate:.2f}s) -> {args.out}")
+
+
+def _write_iq_file(path: str, iq: np.ndarray, rate: int) -> None:
+    """Write complex IQ as raw S16LE, or FLAC when the name ends .flac."""
+    from ..io.convert import complex_to_s16le
+    data = complex_to_s16le(iq)
+    if str(path).lower().endswith(".flac"):
+        from ..io.flac import write_flac
+        write_flac(path, np.frombuffer(data, "<i2").reshape(-1, 2), rate)
+        return
+    with open(path, "wb") as fh:
+        fh.write(data)
 
 
 def cmd_phase(args):
@@ -302,8 +312,11 @@ def cmd_fcd(args):
 def cmd_record(args):
     from ..io.recorder import RawRecorder
     iq, rate = _load_iq(args, args.rate)
-    with RawRecorder(args.out) as rec:
-        rec.write_iq(iq)
+    if str(args.out).lower().endswith(".flac"):
+        _write_iq_file(args.out, iq, rate)
+    else:
+        with RawRecorder(args.out) as rec:
+            rec.write_iq(iq)
     print(f"{len(iq)} samples -> {args.out}")
 
 

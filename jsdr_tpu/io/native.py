@@ -81,3 +81,26 @@ def complex_to_s16le_native(iq: np.ndarray) -> Optional[bytes]:
     out = np.empty(len(f), dtype="<i2")
     lib.jsdr_f32_to_s16le(f.ctypes.data, len(f) // 2, out.ctypes.data)
     return out.tobytes()
+
+
+def flac_decode_native(data: bytes, channels: int,
+                       total: int) -> Optional[np.ndarray]:
+    """Native FLAC decode (native/flac_dec.cpp) -> int32 interleaved
+    [total*channels], or None when the library lacks the symbol or the
+    stream needs the Python fallback (e.g. unknown total_samples)."""
+    lib = _load()
+    if lib is None or total <= 0:
+        return None
+    try:
+        fn = lib.jsdr_flac_decode
+    except AttributeError:
+        return None
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                   ctypes.c_longlong]
+    fn.restype = ctypes.c_longlong
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(total * channels, np.int32)
+    got = fn(buf.ctypes.data, len(data), out.ctypes.data, total)
+    if got != total:
+        return None
+    return out

@@ -18,12 +18,13 @@ from .convert import s16le_to_complex
 
 
 class FileSource:
-    """Streams complex64 IQ blocks from a raw S16LE or WAV file.
+    """Streams complex64 IQ blocks from a raw S16LE, WAV, or FLAC file.
 
     ``loop=True`` rewinds at EOF like the reference's file sources. WAV
-    files are parsed with the stdlib reader (16-bit PCM only — the
-    reference additionally reads FLAC through a javax SPI; FLAC here
-    would need an external decoder and is gated off).
+    files are parsed with the stdlib reader (16-bit PCM only). FLAC is
+    decoded by the in-tree codec (io/flac.py, native fast path) — the
+    analog of the reference's transparent jflac javax SPI ingestion
+    (Makefile:9-10, JavaAudio.java:369-395).
     """
 
     def __init__(self, path: str | Path, rate: int = 96000, channels: int = 2,
@@ -41,6 +42,13 @@ class FileSource:
                 self.rate = w.getframerate()
                 self._data = np.frombuffer(
                     w.readframes(w.getnframes()), dtype="<i2")
+        elif self.path.suffix.lower() == ".flac":
+            from .flac import read_flac
+            samples, rate, bps = read_flac(self.path)
+            self.channels = samples.shape[1]
+            self.rate = rate
+            shift = max(bps - 16, 0)     # normalize to 16-bit full scale
+            self._data = (samples >> shift).astype(np.int16).reshape(-1)
         else:
             self._data = np.fromfile(self.path, dtype="<i2")
 
