@@ -164,6 +164,44 @@ def bpsk_init(cfg: BpskConfig) -> BpskState:
     )
 
 
+def _nco_period(tuning: float, rate: int):
+    """Period q of the quantized NCO table-index sequence, when the fused
+    front-end's 128-lane broadcast pattern applies (q | 128): the ramp
+    (i+1)*inc mod 2pi repeats every q = rate/gcd(tuning, rate) samples
+    for integral tuning. Returns None when the fast path can't be used."""
+    if tuning <= 0.0:
+        return 1                      # pass-through (no mix)
+    if tuning != float(int(tuning)):
+        return None
+    import math
+    q = rate // math.gcd(int(tuning), rate)
+    return q if 128 % q == 0 else None
+
+
+def _nco_pattern(phase0: jnp.ndarray, tuning: float, rate: int):
+    """[..., 128] quantized-table mix pattern (cos, sin) for the fused
+    mix+decimate kernel — the periodic extension of _tuner_mix's per-
+    sample table lookup (FUNcubeBPSKDemod.java:93-95, 381-397)."""
+    if tuning <= 0.0:
+        ones = jnp.ones((*phase0.shape, 128), jnp.float32)
+        return ones, ones
+    inc = TWO_PI * tuning / float(rate)
+    ramp = np.mod(np.arange(1, 129, dtype=np.float64) * inc,
+                  TWO_PI).astype(np.float32)
+    phases = jnp.mod(phase0[..., None] + jnp.asarray(ramp), TWO_PI)
+    idx = (phases * (SINCOS_SIZE / TWO_PI)).astype(jnp.int32) % SINCOS_SIZE
+    ang = idx.astype(jnp.float32) * (TWO_PI / SINCOS_SIZE)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _nco_advance(phase0: jnp.ndarray, tuning: float, rate: int, n: int):
+    """Carried tuner phase after n samples (same formula as _tuner_mix)."""
+    inc = TWO_PI * tuning / float(rate)
+    if inc <= 0.0:
+        return phase0
+    return jnp.mod(phase0 + np.float32(np.mod(n * inc, TWO_PI)), TWO_PI)
+
+
 def _tuner_mix(iq: CF, phase0: jnp.ndarray, tuning: float, rate: int):
     """Quantized-table tuner mix (mi = i*cos, mq = q*sin — the reference's
     non-complex quirk, :389-390). Static tuning -> host-exact phase ramp."""
@@ -373,15 +411,21 @@ def _timing_parallel(mf: CF, ts: TimingState):
 
 
 def _compact_bits(valid: jnp.ndarray, bit: jnp.ndarray, max_bits: int):
-    """Scatter valid +-1 bits into a fixed [max_bits] buffer, in order.
+    """Compact valid +-1 bits into a fixed [max_bits] buffer, in order.
 
-    (i32 scatter: TPU scatters of sub-word element types are slower.)"""
-    slot = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    n_bits = jnp.minimum(slot[-1] + 1, max_bits) if valid.shape[0] else 0
-    pm = jnp.where(bit, jnp.int32(1), jnp.int32(-1))
-    out = jnp.zeros(max_bits, jnp.int32)
-    tgt = jnp.where(valid & (slot < max_bits), slot, max_bits)
-    out = out.at[tgt].set(pm, mode="drop")
+    Compaction = ONE stable sort on a 0/1 validity key (valids keep
+    their relative order, invalids — encoded 0 — sink to the back,
+    which is exactly the zero-fill semantics). A TPU sort is ~3x
+    faster than the element-serial scatter it replaces."""
+    n = valid.shape[0]
+    key = jnp.where(valid, 0, 1).astype(jnp.int32)
+    pm = jnp.where(valid, jnp.where(bit, 1, -1), 0).astype(jnp.int32)
+    _, svals = lax.sort((key, pm), dimension=0, is_stable=True, num_keys=1)
+    if n >= max_bits:
+        out = svals[:max_bits]
+    else:
+        out = jnp.pad(svals, (0, max_bits - n))
+    n_bits = jnp.minimum(jnp.sum(valid.astype(jnp.int32)), max_bits)
     return out.astype(jnp.int8), n_bits
 
 
@@ -470,27 +514,10 @@ class BpskBlockOut(NamedTuple):
     energies: jnp.ndarray   # [2] f32: last (e1-smooth proxy e_out, max corr)
 
 
-@partial(jax.jit, static_argnames=("rate", "tuning", "max_hits", "dofft",
-                                   "track_high", "compat_scan"))
-def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
-                max_hits: int, dofft: bool = False, track_high: bool = False,
-                compat_scan: bool = False) -> Tuple[BpskBlockOut, BpskState]:
-    m = rate // DOWN_SAMPLE_RATE
-    t_len = iq.shape[-1]
-    assert t_len % m == 0, "block must be a multiple of the decimation ratio"
-    if dofft:
-        samples = rate // 10      # the reference's 0.1 s FFT cadence
-        assert t_len % samples == 0, "dofft needs whole 0.1 s sub-blocks"
-        mixed, _centres, ft_state = fft_tuner_blocks(
-            iq.reshape(-1, samples), state.fft_tuner, track_high)
-        mixed = mixed.reshape(t_len)
-        tu_phase = state.tu_phase
-    else:
-        mixed, tu_phase = _tuner_mix(iq, state.tu_phase, tuning, rate)
-        ft_state = state.fft_tuner
-    ds, ds_tail = polyphase_decimate(
-        mixed, jnp.asarray(DS_FILTER.astype(np.float32)), m,
-        tail=state.ds_tail, gain=HOWARD_FUDGE_FACTOR)
+def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
+               t_len: int, max_hits: int, compat_scan: bool):
+    """Per-stream decimated-domain chain: VCO mix -> matched filter ->
+    timing recovery -> bit compaction -> sync search. ds: [T//m]."""
     bb, vco_idx = _vco_mix(ds, state.vco_idx)
     mf, mf_tail = fir_apply_streaming(
         bb, jnp.asarray(DM_FILTER.astype(np.float32)), state.mf_tail)
@@ -507,11 +534,71 @@ def _bpsk_block(iq, state: BpskState, *, rate: int, tuning: float,
     out = BpskBlockOut(
         windows=windows, hit_corr=hit_corr, n_hits=n_hits,
         bits=bits, n_bits=n_bits,
-        energies=jnp.stack([timing.e_out, jnp.max(hit_corr).astype(jnp.float32)]),
+        energies=jnp.stack([timing.e_out,
+                            jnp.max(hit_corr).astype(jnp.float32)]),
     )
     new_state = BpskState(tu_phase, ds_tail, vco_idx, mf_tail, timing,
                           ring, counters, ft_state)
     return out, new_state
+
+
+@partial(jax.jit, static_argnames=("rate", "tuning", "max_hits", "dofft",
+                                   "track_high", "compat_scan", "use_pallas"))
+def _bpsk_block_batched(iq, states: BpskState, *, rate: int, tuning: float,
+                        max_hits: int, dofft: bool, track_high: bool,
+                        compat_scan: bool,
+                        use_pallas: bool) -> Tuple[BpskBlockOut, BpskState]:
+    """Batched telemetry chain over [S, T] stream rows.
+
+    The full-rate front end (tuner mix + decimating FIR — the HBM-bound
+    stage) runs as ONE fused Pallas kernel across all streams
+    (ops.pallas_kernels.mix_decimate) whenever the quantized NCO ramp is
+    128-lane periodic; the decimated-domain stages are vmapped."""
+    from ..ops.pallas_kernels import mix_decimate
+
+    m = rate // DOWN_SAMPLE_RATE
+    s, t_len = iq.shape
+    assert t_len % m == 0, "block must be a multiple of the decimation ratio"
+    taps = DS_FILTER.astype(np.float32)
+    q = _nco_period(tuning, rate)
+    if dofft:
+        samples = rate // 10      # the reference's 0.1 s FFT cadence
+        assert t_len % samples == 0, "dofft needs whole 0.1 s sub-blocks"
+
+        def tune1(iq1, ft1):
+            mixed, _c, ft = fft_tuner_blocks(
+                iq1.reshape(-1, samples), ft1, track_high)
+            return mixed.reshape(t_len), ft
+
+        mixed, ft_state = jax.vmap(tune1)(iq, states.fft_tuner)
+        tu_phase = states.tu_phase
+        ones = jnp.ones((s, 128), jnp.float32)
+        ds, ds_tail = mix_decimate(
+            mixed, ones, ones, taps, m, states.ds_tail,
+            gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas)
+    elif q is not None:
+        cos_pat, sin_pat = _nco_pattern(states.tu_phase, tuning, rate)
+        ds, ds_tail = mix_decimate(
+            iq, cos_pat, sin_pat, taps, m, states.ds_tail,
+            gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas)
+        tu_phase = _nco_advance(states.tu_phase, tuning, rate, t_len)
+        ft_state = states.fft_tuner
+    else:
+        # irrational / long-period tunings: per-sample ramp fallback
+        def front1(iq1, ph1, tail1):
+            mixed, ph = _tuner_mix(iq1, ph1, tuning, rate)
+            ds1, tl = polyphase_decimate(mixed, jnp.asarray(taps), m,
+                                         tail=tail1,
+                                         gain=HOWARD_FUDGE_FACTOR)
+            return ds1, ph, tl
+
+        ds, tu_phase, ds_tail = jax.vmap(front1)(
+            iq, states.tu_phase, states.ds_tail)
+        ft_state = states.fft_tuner
+
+    post = partial(_bpsk_post, t_len=t_len, max_hits=max_hits,
+                   compat_scan=compat_scan)
+    return jax.vmap(post)(ds, states, tu_phase, ds_tail, ft_state)
 
 
 def bpsk_block(iq, cfg: BpskConfig,
@@ -523,10 +610,11 @@ def bpsk_block(iq, cfg: BpskConfig,
     (feed to jsdr_tpu.fec.decoder.fec_decode) and the carried state.
     """
     iq = as_cf(iq)
-    return _bpsk_block(iq, state, rate=cfg.rate, tuning=cfg.tuning,
-                       max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
-                       track_high=cfg.track_high,
-                       compat_scan=cfg.compat_scan)
+    states = jax.tree.map(lambda x: x[None], state)
+    out, new_states = bpsk_block_batch(CF(iq.re[None], iq.im[None]),
+                                       cfg, states)
+    take0 = lambda x: x[0]
+    return jax.tree.map(take0, out), jax.tree.map(take0, new_states)
 
 
 def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
@@ -537,10 +625,14 @@ def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
         lambda x: np.broadcast_to(x, (n_streams, *x.shape)).copy(), one)
 
 
-def bpsk_block_batch(iq, cfg: BpskConfig,
-                     states: BpskState) -> Tuple[BpskBlockOut, BpskState]:
-    """vmapped telemetry chain over independent streams: [S, T] blocks."""
-    fn = partial(_bpsk_block, rate=cfg.rate, tuning=cfg.tuning,
-                 max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
-                 track_high=cfg.track_high, compat_scan=cfg.compat_scan)
-    return jax.vmap(fn)(as_cf(iq), states)
+def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState,
+                     use_pallas: bool | None = None
+                     ) -> Tuple[BpskBlockOut, BpskState]:
+    """Batched telemetry chain over independent streams: [S, T] blocks."""
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    return _bpsk_block_batched(
+        as_cf(iq), states, rate=cfg.rate, tuning=cfg.tuning,
+        max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
+        track_high=cfg.track_high, compat_scan=cfg.compat_scan,
+        use_pallas=bool(use_pallas))

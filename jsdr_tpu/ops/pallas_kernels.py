@@ -238,3 +238,207 @@ def spectrum_natural_order(psd_perm: jnp.ndarray) -> jnp.ndarray:
     (one XLA transpose — use only on display/compat paths)."""
     nblk, s, n1, n2 = psd_perm.shape
     return jnp.transpose(psd_perm, (1, 0, 3, 2)).reshape(s, nblk, n1 * n2)
+
+
+# ---------------------------------------------------------------------------
+# Fused tuner-mix + decimating-FIR front-end.
+#
+# The telemetry chain's dominant HBM cost is the full-rate pass: NCO mix
+# (FUNcubeBPSKDemod.java:382-397) followed by the 27-tap decimate-by-M
+# FIR (:470-492). Unfused, XLA reads/writes the 96 kS/s stream several
+# times (mix output, im2col, matmul input); this kernel reads the raw IQ
+# rows once, applies the quantized-table mix as a broadcast of a
+# 128-lane periodic pattern (the NCO table index sequence is exactly
+# periodic for rational tuning/rate — see bpsk._nco_pattern), and runs
+# the decimation as one banded MXU matmul per chunk, entirely in VMEM.
+# One HBM read of the input, one write of the M-times-smaller output.
+# ---------------------------------------------------------------------------
+
+_MD_ROWS = 8          # streams per grid step (f32 sublane tile)
+_MD_HALO = 128        # lane-tile-aligned prehistory carried per chunk
+_MD_CHUNK_OUT = 1280  # decimated outputs per chunk (K=10 window tiles)
+
+
+def _dec_tapmat(taps: np.ndarray, m: int, gain: float) -> np.ndarray:
+    """Banded tap matrix for one 128-output window of the fused kernel.
+
+    With w = [halo(128) ++ mixed(chunk)], output o of window k reads
+    w[128*m*k + j] against T[j, o] = gain*taps[m*o + m + 127 - j]
+    (zero outside [0, ntaps)). Shape [128*(m+1), 128]."""
+    ntaps = len(taps)
+    assert ntaps <= 128 + m, "tap count exceeds the carried halo"
+    j = np.arange(128 * (m + 1))[:, None]
+    o = np.arange(128)[None, :]
+    a = m * o + m + 127 - j
+    ok = (a >= 0) & (a < ntaps)
+    return np.where(ok, np.asarray(taps)[np.where(ok, a, 0)] * gain,
+                    0.0).astype(np.float32)
+
+
+def _mix_decimate_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
+                         tap_ref, or_ref, oi_ref, tlr_ref, tli_ref,
+                         hr_ref, hi_ref, *, m: int, t_len: int, nb: int):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    wp = xr_ref.shape[-1]                 # chunk span = _MD_CHUNK_OUT * m
+    k_tiles = _MD_CHUNK_OUT // 128
+    j = pl.program_id(1)
+
+    # chunk 0 seeds the mixed-domain halo from the carried state tail;
+    # later chunks reuse the scratch left by the previous grid step
+    # (TPU grids execute sequentially, minor dimension fastest)
+    @pl.when(j == 0)
+    def _():
+        hr_ref[...] = t0r_ref[...]
+        hi_ref[...] = t0i_ref[...]
+
+    lane = lax.broadcasted_iota(jnp.int32, (_MD_ROWS, wp), 1)
+    mask = (j * wp + lane) < t_len        # ragged last chunk -> zeros
+    # periodic-pattern mix: broadcast the [8, 128] table across the chunk
+    x3r = xr_ref[...].reshape(_MD_ROWS, wp // 128, 128)
+    x3i = xi_ref[...].reshape(_MD_ROWS, wp // 128, 128)
+    mr = (x3r * cos_ref[...][:, None, :]).reshape(_MD_ROWS, wp)
+    mi = (x3i * sin_ref[...][:, None, :]).reshape(_MD_ROWS, wp)
+    wr = jnp.concatenate([hr_ref[...], jnp.where(mask, mr, 0.0)], axis=1)
+    wi = jnp.concatenate([hi_ref[...], jnp.where(mask, mi, 0.0)], axis=1)
+    # stack the K window tiles (and both planes) into ONE banded matmul
+    span = 128 * (m + 1)
+    parts = [wr[:, 128 * m * k: 128 * m * k + span] for k in range(k_tiles)]
+    parts += [wi[:, 128 * m * k: 128 * m * k + span] for k in range(k_tiles)]
+    wall = jnp.concatenate(parts, axis=0)           # [2K*8, span]
+    y = jnp.dot(wall, tap_ref[...], precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # [2K*8, 128]
+    y4 = y.reshape(2, k_tiles, _MD_ROWS, 128)
+    or_ref[...] = jnp.moveaxis(y4[0], 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
+    oi_ref[...] = jnp.moveaxis(y4[1], 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
+    # hand the chunk's last 128 mixed samples to the next grid step
+    hr_ref[...] = wr[:, wp:wp + 128]
+    hi_ref[...] = wi[:, wp:wp + 128]
+
+    # the carried-tail output comes from the final chunk, whose valid
+    # region ends at the STATIC lane offset e_last
+    e_last = t_len - (nb - 1) * wp
+
+    @pl.when(j == nb - 1)
+    def _():
+        tlr_ref[...] = wr[:, e_last:e_last + 128]
+        tli_ref[...] = wi[:, e_last:e_last + 128]
+
+
+def _mix_decimate_ref(iq: CF, cos_pat, sin_pat, taps, m: int,
+                      tail: CF, gain: float):
+    """jnp oracle: tile the [S, 128] pattern, mix, run the banded-matmul
+    polyphase decimator (same math as ops.fir.polyphase_decimate)."""
+    from .fir import polyphase_decimate
+
+    s, t = iq.shape
+    reps = -(-t // 128)
+    cos_full = jnp.tile(cos_pat, (1, reps))[:, :t]
+    sin_full = jnp.tile(sin_pat, (1, reps))[:, :t]
+    mixed = CF(iq.re * cos_full, iq.im * sin_full)
+    return polyphase_decimate(mixed, jnp.asarray(taps, jnp.float32), m,
+                              tail=tail, gain=gain)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "gain", "use_pallas",
+                                             "interpret"))
+def _mix_decimate_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
+                      m, gain, use_pallas, interpret):
+    if not use_pallas and not interpret:
+        y, new_tail = _mix_decimate_ref(
+            CF(xr, xi), cos_pat, sin_pat, taps, m, CF(tail_r, tail_i), gain)
+        return y.re, y.im, new_tail.re, new_tail.im
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s, t = xr.shape
+    ntaps = taps.shape[0]
+    wp = _MD_CHUNK_OUT * m
+    nb = -(-t // wp)
+    rows = _MD_ROWS
+    pad_s = -s % rows
+    if pad_s:
+        zr = jnp.zeros((pad_s, t), xr.dtype)
+        xr, xi = jnp.concatenate([xr, zr]), jnp.concatenate([xi, zr])
+        zp = jnp.zeros((pad_s, 128), xr.dtype)
+        cos_pat = jnp.concatenate([cos_pat, zp])
+        sin_pat = jnp.concatenate([sin_pat, zp])
+        zt = jnp.zeros((pad_s, ntaps - 1), xr.dtype)
+        tail_r = jnp.concatenate([tail_r, zt])
+        tail_i = jnp.concatenate([tail_i, zt])
+    sp = s + pad_s
+
+    # carried state tail, zero-padded into the 128-lane halo layout
+    t0r = jnp.pad(tail_r, ((0, 0), (128 - (ntaps - 1), 0)))
+    t0i = jnp.pad(tail_i, ((0, 0), (128 - (ntaps - 1), 0)))
+
+    kernel = functools.partial(_mix_decimate_kernel, m=m, t_len=t, nb=nb)
+    yr, yi, tlr, tli = pl.pallas_call(
+        kernel,
+        grid=(sp // rows, nb),
+        in_specs=[
+            pl.BlockSpec((rows, wp), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, wp), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tapmat.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, _MD_CHUNK_OUT), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _MD_CHUNK_OUT), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, nb * _MD_CHUNK_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((sp, nb * _MD_CHUNK_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32),
+                        pltpu.VMEM((rows, 128), jnp.float32)],
+        interpret=interpret,
+    )(xr, xi, t0r, t0i, cos_pat, sin_pat, tapmat)
+    n_out = t // m
+    yr, yi = yr[:s, :n_out], yi[:s, :n_out]
+    # new mixed-domain tail = last ntaps-1 valid mixed samples
+    return yr, yi, tlr[:s, 128 - (ntaps - 1):], tli[:s, 128 - (ntaps - 1):]
+
+
+def mix_decimate(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,
+                 gain: float = 1.0, use_pallas: bool | None = None,
+                 interpret: bool = False):
+    """Fused NCO mix + decimate-by-m FIR over [S, T] stream rows.
+
+    ``cos_pat``/``sin_pat``: [S, 128] per-stream mix tables, valid when
+    the quantized NCO index sequence is 128-lane periodic (see
+    ``bpsk._nco_pattern``; pass ones for no mix). ``tail``: CF [S,
+    ntaps-1] carried MIXED-domain history (same state as
+    ``ops.fir.polyphase_decimate``). T need not be chunk-aligned; it must
+    be a multiple of m. Returns (ds CF [S, T//m], new_tail CF).
+    """
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    s, t = iq.shape
+    assert t % m == 0
+    taps_np = np.asarray(taps, np.float32)
+    tapmat = jnp.asarray(_dec_tapmat(taps_np, m, float(gain)))
+    yr, yi, tr, ti = _mix_decimate_jit(
+        iq.re, iq.im, cos_pat, sin_pat, jnp.asarray(taps_np), tapmat,
+        tail.re, tail.im, m, float(gain), use_pallas, interpret)
+    return CF(yr, yi), CF(tr, ti)

@@ -150,3 +150,64 @@ def test_spectrum_fused_matches_block():
                                rtol=0, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(got.peak_freq),
                                   np.asarray(ref.peak_freq))
+
+
+def test_mix_decimate_fused_matches_reference(rng):
+    """The fused Pallas mix+decimate kernel (interpret mode) equals the
+    pattern-tiled mix + polyphase_decimate oracle, including the carried
+    mixed-domain tail, across chunk-aligned, ragged, and multi-chunk T."""
+    import jax
+    from jsdr_tpu.ops.cplx import CF
+    from jsdr_tpu.ops.pallas_kernels import _mix_decimate_ref, mix_decimate
+
+    m, nt = 10, 27
+    taps = np.random.default_rng(7).standard_normal(nt).astype(np.float32)
+    ang = (np.arange(128) % 8) * (2 * np.pi / 8)
+    for s, t in [(1, 12800), (3, 25600), (2, 640), (2, 48000)]:
+        x = CF(jnp.asarray(rng.normal(size=(s, t)).astype(np.float32)),
+               jnp.asarray(rng.normal(size=(s, t)).astype(np.float32)))
+        cos_pat = jnp.asarray(np.tile(np.cos(ang).astype(np.float32),
+                                      (s, 1)))
+        sin_pat = jnp.asarray(np.tile(np.sin(ang).astype(np.float32),
+                                      (s, 1)))
+        tail = CF(jnp.asarray(rng.normal(size=(s, nt - 1)).astype(np.float32)),
+                  jnp.asarray(rng.normal(size=(s, nt - 1)).astype(np.float32)))
+        ref, rt = _mix_decimate_ref(x, cos_pat, sin_pat, taps, m, tail, 3.0)
+        got, gt = mix_decimate(x, cos_pat, sin_pat, taps, m, tail, 3.0,
+                               use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(ref.re),
+                                   rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
+                                   rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gt.re), np.asarray(rt.re),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gt.im), np.asarray(rt.im),
+                                   atol=1e-5)
+
+
+def test_nco_pattern_matches_tuner_mix(rng):
+    """The 128-lane periodic NCO pattern tiles to exactly the per-sample
+    quantized-table ramp of _tuner_mix (FUNcubeBPSKDemod.java:381-397)."""
+    from jsdr_tpu.demod.bpsk import (_nco_pattern, _nco_period, _tuner_mix,
+                                     _nco_advance)
+    from jsdr_tpu.ops.cplx import CF
+
+    rate, t = 96000, 9600
+    for tuning in (12000.0, 21000.0, 0.0):
+        q = _nco_period(tuning, rate)
+        assert q is not None and 128 % q == 0
+        x = CF(jnp.asarray(rng.normal(size=t).astype(np.float32)),
+               jnp.asarray(rng.normal(size=t).astype(np.float32)))
+        ph0 = jnp.asarray(np.float32(0.0))
+        want, ph_want = _tuner_mix(x, ph0, tuning, rate)
+        cos_pat, sin_pat = _nco_pattern(ph0, tuning, rate)
+        reps = t // 128
+        got_re = np.asarray(x.re).reshape(reps, 128) * np.asarray(cos_pat)
+        got_im = np.asarray(x.im).reshape(reps, 128) * np.asarray(sin_pat)
+        np.testing.assert_allclose(got_re.reshape(-1), np.asarray(want.re),
+                                   atol=1e-6)
+        np.testing.assert_allclose(got_im.reshape(-1), np.asarray(want.im),
+                                   atol=1e-6)
+        ph_got = _nco_advance(ph0, tuning, rate, t)
+        np.testing.assert_allclose(np.asarray(ph_got), np.asarray(ph_want),
+                                   atol=1e-6)
