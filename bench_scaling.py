@@ -37,13 +37,15 @@ def measure(n_devices: int, t_shard: int = 480_000, streams_per_dp: int = 2,
     iq = (0.2 * (rng.standard_normal((n_streams, t_len))
                  + 1j * rng.standard_normal((n_streams, t_len)))
           ).astype(np.complex64)
-    step = sharded_telemetry_step(mesh, rate=96000, tuning=12000.0)
+    from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_init_batch
+    step = sharded_telemetry_step(mesh, rate=96000)
+    states = bpsk_init_batch(BpskConfig(rate=96000), n_streams)
     x = jax.device_put(jnp.asarray(iq), NamedSharding(mesh, P("dp", "sp")))
-    jax.block_until_ready(step(x))     # compile
+    jax.block_until_ready(step(x, states))     # compile
     best = np.inf
     for _ in range(iters):
         t0 = time.time()
-        jax.block_until_ready(step(x))
+        jax.block_until_ready(step(x, states))
         best = min(best, time.time() - t0)
     return n_streams * t_len / best
 

@@ -133,24 +133,21 @@ def cmd_demod(args):
 
 
 def cmd_telemetry(args):
-    import jax.numpy as jnp
-    from ..demod.bpsk import BpskConfig, bpsk_init, bpsk_block
+    from ..demod.bpsk import (BpskConfig, bpsk_init_batch, bpsk_block_batch)
     from ..fec.decoder import fec_decode
+    from ..ops.cplx import from_complex
 
     iq, rate = _load_iq(args, args.rate)
-    tunings = [float(t) for t in str(args.tuning).split(",")]
-    if len(tunings) > 1:
-        # N demodulator instances on the same stream — the analog of the
-        # jsdr-funcube-demods tabs (jsdr.java:479-484)
-        for t in tunings:
-            print(f"=== FUNcube demod @ {t:.0f} Hz ===")
-            sub_args = argparse.Namespace(**vars(args))
-            sub_args.tuning = t
-            cmd_telemetry(sub_args)
-        return
-    cfg = BpskConfig(rate=rate, tuning=tunings[0], dofft=args.fft_tune,
-                     track_high=args.track_high)
-    st = bpsk_init(cfg)
+    tunings = np.asarray([float(t) for t in str(args.tuning).split(",")])
+    n_demods = len(tunings)
+    # N demodulator instances on the same stream, each with its own
+    # tuning, decoded in ONE batched call per block — the analog of the
+    # jsdr-funcube-demods tabs (jsdr.java:479-484,
+    # FUNcubeBPSKDemod.java:195-196); tunings are traced data, so this
+    # compiles once regardless of N or the tuning values.
+    cfg = BpskConfig(rate=rate, tuning=float(tunings[0]),
+                     dofft=args.fft_tune, track_high=args.track_high)
+    st = bpsk_init_batch(cfg, n_demods)
     if args.resume and args.checkpoint:
         from pathlib import Path
         from ..runtime.state import load_state
@@ -159,31 +156,39 @@ def cmd_telemetry(args):
             print(f"resumed stream state from {args.checkpoint}")
     block = rate
     iq = np.concatenate([iq, np.zeros((-len(iq)) % block, np.complex64)])
+    blocks = from_complex(
+        np.broadcast_to(iq, (n_demods, len(iq))))
     frames = 0
     for b in range(len(iq) // block):
-        out, st = bpsk_block(jnp.asarray(iq[b * block:(b + 1) * block]), cfg, st)
-        nh = int(out.n_hits)
-        if not nh:
-            continue
-        res = fec_decode(out.windows[:nh])
-        for i in range(nh):
-            if not bool(res.ok[i]):
-                print(f"t={b}s sync corr={int(out.hit_corr[i])}: FEC decode failed")
+        out, st = bpsk_block_batch(
+            blocks[:, b * block:(b + 1) * block], cfg, st, tunings)
+        for s in range(n_demods):
+            nh = int(out.n_hits[s])
+            if not nh:
                 continue
-            frames += 1
-            payload = np.asarray(res.payload[i])
-            print(f"t={b}s corr={int(out.hit_corr[i])} "
-                  f"channel_errors={int(res.rc[i])}:")
-            for off in range(0, 256, 16):
-                row = " ".join(f"{v:02x}" for v in payload[off:off + 16])
-                print(f"  {off:3d}: {row}")
+            tag = f"demod{s}@{tunings[s]:.0f}Hz " if n_demods > 1 else ""
+            res = fec_decode(out.windows[s, :nh])
+            for i in range(nh):
+                if not bool(res.ok[i]):
+                    print(f"{tag}t={b}s sync corr={int(out.hit_corr[s, i])}: "
+                          "FEC decode failed")
+                    continue
+                frames += 1
+                payload = np.asarray(res.payload[i])
+                print(f"{tag}t={b}s corr={int(out.hit_corr[s, i])} "
+                      f"channel_errors={int(res.rc[i])}:")
+                for off in range(0, 256, 16):
+                    row = " ".join(f"{v:02x}" for v in payload[off:off + 16])
+                    print(f"  {off:3d}: {row}")
     if args.checkpoint:
         from ..runtime.state import save_state
         save_state(args.checkpoint, st)
         print(f"stream state -> {args.checkpoint}")
     c = np.asarray(st.counters)
-    print(f"counters: raw={c[0]} ds={c[1]} bits={c[2]} syncs={c[3]} "
-          f"frames={frames}")
+    for s in range(n_demods):
+        print(f"demod{s} @ {tunings[s]:.0f} Hz counters: raw={c[s, 0]} "
+              f"ds={c[s, 1]} bits={c[s, 2]} syncs={c[s, 3]}")
+    print(f"frames={frames}")
 
 
 def cmd_synth(args):

@@ -109,7 +109,8 @@ _SYNC = np.asarray(SYNC_VECTOR, dtype=np.int32)     # [65] of +/-1
 
 class BpskConfig(NamedTuple):
     rate: int = 96000          # input sample rate
-    tuning: float = 12000.0    # manual-tune NCO Hz (static: retune recompiles)
+    tuning: float = 12000.0    # default manual-tune NCO Hz for streams
+                               # without an explicit per-stream tuning
     max_hits_per_block: int = 4
     dofft: bool = False        # FFT auto-tune front-end (doBufferFFT path)
     track_high: bool = False   # auto-tune searches the upper half-band
@@ -164,59 +165,143 @@ def bpsk_init(cfg: BpskConfig) -> BpskState:
     )
 
 
-def _nco_period(tuning: float, rate: int):
-    """Period q of the quantized NCO table-index sequence, when the fused
-    front-end's 128-lane broadcast pattern applies (q | 128): the ramp
-    (i+1)*inc mod 2pi repeats every q = rate/gcd(tuning, rate) samples
-    for integral tuning. Returns None when the fast path can't be used."""
-    if tuning <= 0.0:
-        return 1                      # pass-through (no mix)
-    if tuning != float(int(tuning)):
-        return None
-    import math
-    q = rate // math.gcd(int(tuning), rate)
-    return q if 128 % q == 0 else None
+# ---------------------------------------------------------------------------
+# Tuner NCO as an integer phase NUMERATOR.
+#
+# The carried tuner phase is a numerator nu with phase = 2*pi*nu/rate,
+# nu in [0, rate). The reference's tuning config key is an integer
+# property (jsdr.java:87-95, FUNcube<n>-bpsk-tuning), so for integral
+# tunings every NCO quantity is EXACT int32 arithmetic:
+#
+#   nu_k        = (nu_0 + k*tuning) mod rate          (phase after k samples)
+#   table index = floor(SINCOS_SIZE * nu_k / rate)    (:93-95, 381-397)
+#
+# This makes the per-stream tunings a TRACED [S] int32 array — N demod
+# instances with independent tunings run in ONE compiled step and
+# retuning never recompiles (the analog of N FUNcubeBPSKDemod tabs each
+# with its own FUNcube<n>-bpsk-tuning, jsdr.java:479-484) — and makes
+# shard phase offsets in parallel/sharded.py exact by construction.
+# ---------------------------------------------------------------------------
 
 
-def _nco_pattern(phase0: jnp.ndarray, tuning: float, rate: int):
-    """[..., 128] quantized-table mix pattern (cos, sin) for the fused
-    mix+decimate kernel — the periodic extension of _tuner_mix's per-
-    sample table lookup (FUNcubeBPSKDemod.java:93-95, 381-397)."""
-    if tuning <= 0.0:
-        ones = jnp.ones((*phase0.shape, 128), jnp.float32)
-        return ones, ones
-    inc = TWO_PI * tuning / float(rate)
-    ramp = np.mod(np.arange(1, 129, dtype=np.float64) * inc,
-                  TWO_PI).astype(np.float32)
-    phases = jnp.mod(phase0[..., None] + jnp.asarray(ramp), TWO_PI)
-    idx = (phases * (SINCOS_SIZE / TWO_PI)).astype(jnp.int32) % SINCOS_SIZE
-    ang = idx.astype(jnp.float32) * (TWO_PI / SINCOS_SIZE)
+def _modmul_static(tu: jnp.ndarray, m: int, rate: int) -> jnp.ndarray:
+    """(m * tu) mod rate for traced int32 tu in [0, rate), static int m
+    (any sign/size). Binary double-and-add keeps every value < 2*rate,
+    comfortably inside int32 for rate <= 192000."""
+    m = int(m) % rate
+    acc = jnp.zeros_like(tu)
+    cur = tu % rate
+    while m:
+        if m & 1:
+            acc = (acc + cur) % rate
+        cur = (cur + cur) % rate
+        m >>= 1
+    return acc
+
+
+def _modmul_traced(tu: jnp.ndarray, k: jnp.ndarray, rate: int,
+                   k_bits: int = 20) -> jnp.ndarray:
+    """(k * tu) mod rate with BOTH operands traced int32 in [0, rate)."""
+    acc = jnp.zeros_like(tu)
+    cur = tu % rate
+    for j in range(k_bits):
+        acc = jnp.where((k >> j) & 1 == 1, (acc + cur) % rate, acc)
+        cur = (cur + cur) % rate
+    return acc
+
+
+def nco_numerators(nu0: jnp.ndarray, tu: jnp.ndarray, n: int, rate: int,
+                   start: int = 1) -> jnp.ndarray:
+    """[..., n] exact phase numerators (nu0 + (start+i)*tu) mod rate for
+    i in [0, n), traced int32 tunings. Two-level split i = 128*c + k
+    keeps all products in int32 up to n ~ 1.4e9 samples."""
+    tu = tu % rate
+    base0 = (nu0 + _modmul_static(tu, start, rate)) % rate
+    kram = (tu[..., None]
+            * jnp.arange(128, dtype=jnp.int32)) % rate          # [..., 128]
+    step128 = (tu * 128) % rate
+    c_cnt = -(-n // 128)
+    c0_cnt = min(1024, c_cnt)
+    c1_cnt = -(-c_cnt // c0_cnt)
+    assert c1_cnt * (rate - 1) < 2 ** 31
+    step_l2 = (step128 * c0_cnt) % rate
+    c1ram = (step_l2[..., None]
+             * jnp.arange(c1_cnt, dtype=jnp.int32)) % rate      # [..., c1]
+    c0ram = (step128[..., None]
+             * jnp.arange(c0_cnt, dtype=jnp.int32)) % rate      # [..., c0]
+    base_c = (c1ram[..., :, None] + c0ram[..., None, :]) % rate
+    base_c = base_c.reshape(*base_c.shape[:-2], -1)[..., :c_cnt]
+    nums = (base0[..., None, None] + base_c[..., None]
+            + kram[..., None, :]) % rate                        # [..., c, 128]
+    return nums.reshape(*nums.shape[:-2], -1)[..., :n]
+
+
+def _num_to_cossin(nums: jnp.ndarray, rate: int):
+    """Numerators -> quantized-table (cos, sin) values (:93-95)."""
+    idx = (nums * SINCOS_SIZE) // rate
+    ang = idx.astype(jnp.float32) * np.float32(TWO_PI / SINCOS_SIZE)
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def _nco_advance(phase0: jnp.ndarray, tuning: float, rate: int, n: int):
-    """Carried tuner phase after n samples (same formula as _tuner_mix)."""
-    inc = TWO_PI * tuning / float(rate)
-    if inc <= 0.0:
-        return phase0
-    return jnp.mod(phase0 + np.float32(np.mod(n * inc, TWO_PI)), TWO_PI)
+def _nco_pattern(nu0: jnp.ndarray, tu: jnp.ndarray, rate: int):
+    """[..., 128] quantized-table mix pattern (cos, sin) for the fused
+    mix+decimate kernel. Valid as a periodic broadcast iff each stream's
+    (128 * tuning) % rate == 0 (checked by the dispatch wrapper);
+    tu <= 0 streams pass through un-mixed (:388, :394-396)."""
+    nums = nco_numerators(nu0.astype(jnp.int32), tu, 128, rate, start=1)
+    c, s = _num_to_cossin(nums, rate)
+    on = (tu > 0)[..., None]
+    return jnp.where(on, c, 1.0), jnp.where(on, s, 1.0)
 
 
-def _tuner_mix(iq: CF, phase0: jnp.ndarray, tuning: float, rate: int):
-    """Quantized-table tuner mix (mi = i*cos, mq = q*sin — the reference's
-    non-complex quirk, :389-390). Static tuning -> host-exact phase ramp."""
+def _nco_advance(nu0: jnp.ndarray, tu: jnp.ndarray, rate: int, n: int):
+    """Carried numerator after n samples (tu <= 0: phase frozen)."""
+    adv = (nu0.astype(jnp.int32) + _modmul_static(tu % rate, n, rate)) % rate
+    return jnp.where(tu > 0, adv, nu0.astype(jnp.int32)).astype(jnp.float32)
+
+
+def _tuner_full_mix(iq: CF, nu0: jnp.ndarray, tu: jnp.ndarray, rate: int):
+    """Full-length quantized-table tuner mix (mi = i*cos, mq = q*sin —
+    the reference's non-complex quirk, :389-390) for traced integral
+    tunings of ANY period — the general path when the 128-lane periodic
+    pattern does not apply. iq: [..., T]; nu0/tu: [...]."""
     n = iq.shape[-1]
-    inc = TWO_PI * tuning / float(rate)
-    if inc <= 0.0:
+    nums = nco_numerators(nu0.astype(jnp.int32), tu, n, rate, start=1)
+    c, s = _num_to_cossin(nums, rate)
+    on = (tu > 0)[..., None]
+    mixed = CF(iq.re * jnp.where(on, c, 1.0),
+               iq.im * jnp.where(on, s, 1.0))
+    return mixed, _nco_advance(nu0, tu, rate, n)
+
+
+def _tuner_mix(iq: CF, nu0: jnp.ndarray, tuning: float, rate: int):
+    """STATIC-tuning tuner mix (legacy/fractional path): the per-sample
+    numerator ramp is computed host-side in float64 — supports
+    non-integral tunings, recompiles when the tuning value changes."""
+    n = iq.shape[-1]
+    if tuning <= 0.0:
         # phase never goes positive -> pass-through (:388, :394-396)
-        return iq, phase0
-    ramp = np.mod(np.arange(1, n + 1, dtype=np.float64) * inc, TWO_PI)
-    phases = jnp.mod(phase0 + jnp.asarray(ramp.astype(np.float32)), TWO_PI)
-    idx = (phases * (SINCOS_SIZE / TWO_PI)).astype(jnp.int32) % SINCOS_SIZE
-    ang = idx.astype(jnp.float32) * (TWO_PI / SINCOS_SIZE)
+        return iq, nu0
+    ramp = np.mod(np.arange(1, n + 1, dtype=np.float64) * float(tuning),
+                  rate).astype(np.float32)
+    nums = jnp.mod(nu0.astype(jnp.float32) + jnp.asarray(ramp), float(rate))
+    idx = (nums * np.float32(SINCOS_SIZE / rate)).astype(jnp.int32) \
+        % SINCOS_SIZE
+    ang = idx.astype(jnp.float32) * np.float32(TWO_PI / SINCOS_SIZE)
     mixed = CF(iq.re * jnp.cos(ang), iq.im * jnp.sin(ang))
-    phase_out = jnp.mod(phase0 + np.float32(np.mod(n * inc, TWO_PI)), TWO_PI)
-    return mixed, phase_out
+    nu_out = jnp.mod(nu0 + np.float32(np.mod(n * float(tuning), rate)),
+                     np.float32(rate))
+    return mixed, nu_out
+
+
+def pattern_mix_ok(tunings, rate: int) -> bool:
+    """True when every stream's quantized NCO index sequence is 128-lane
+    periodic (the fused Pallas fast path): integral tuning with
+    (128 * tuning) % rate == 0."""
+    t = np.asarray(tunings, np.float64).reshape(-1)
+    if not np.all(t == np.round(t)):
+        return False
+    return all((128 * int(v)) % rate == 0 for v in np.maximum(t, 0.0))
 
 
 def _vco_mix(ds: CF, vco_idx: jnp.ndarray):
@@ -542,26 +627,29 @@ def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
     return out, new_state
 
 
-@partial(jax.jit, static_argnames=("rate", "tuning", "max_hits", "dofft",
-                                   "track_high", "compat_scan", "use_pallas"))
-def _bpsk_block_batched(iq, states: BpskState, *, rate: int, tuning: float,
-                        max_hits: int, dofft: bool, track_high: bool,
-                        compat_scan: bool,
+@partial(jax.jit, static_argnames=("rate", "mix_mode", "static_tunings",
+                                   "max_hits", "track_high", "compat_scan",
+                                   "use_pallas"))
+def _bpsk_block_batched(iq, states: BpskState, tunings, *, rate: int,
+                        mix_mode: str, static_tunings, max_hits: int,
+                        track_high: bool, compat_scan: bool,
                         use_pallas: bool) -> Tuple[BpskBlockOut, BpskState]:
-    """Batched telemetry chain over [S, T] stream rows.
+    """Batched telemetry chain over [S, T] stream rows with per-stream
+    TRACED tunings [S] int32 (the N-tab analog, jsdr.java:479-484).
 
     The full-rate front end (tuner mix + decimating FIR — the HBM-bound
     stage) runs as ONE fused Pallas kernel across all streams
-    (ops.pallas_kernels.mix_decimate) whenever the quantized NCO ramp is
-    128-lane periodic; the decimated-domain stages are vmapped."""
+    (ops.pallas_kernels.mix_decimate) whenever every stream's quantized
+    NCO ramp is 128-lane periodic (mix_mode="pattern"); otherwise the
+    mix is a full-length exact-numerator elementwise pass
+    (mix_mode="general"). The decimated-domain stages are vmapped."""
     from ..ops.pallas_kernels import mix_decimate
 
     m = rate // DOWN_SAMPLE_RATE
     s, t_len = iq.shape
     assert t_len % m == 0, "block must be a multiple of the decimation ratio"
     taps = DS_FILTER.astype(np.float32)
-    q = _nco_period(tuning, rate)
-    if dofft:
+    if mix_mode == "dofft":
         samples = rate // 10      # the reference's 0.1 s FFT cadence
         assert t_len % samples == 0, "dofft needs whole 0.1 s sub-blocks"
 
@@ -576,24 +664,35 @@ def _bpsk_block_batched(iq, states: BpskState, *, rate: int, tuning: float,
         ds, ds_tail = mix_decimate(
             mixed, ones, ones, taps, m, states.ds_tail,
             gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas)
-    elif q is not None:
-        cos_pat, sin_pat = _nco_pattern(states.tu_phase, tuning, rate)
+    elif mix_mode == "pattern":
+        cos_pat, sin_pat = _nco_pattern(states.tu_phase, tunings, rate)
         ds, ds_tail = mix_decimate(
             iq, cos_pat, sin_pat, taps, m, states.ds_tail,
             gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas)
-        tu_phase = _nco_advance(states.tu_phase, tuning, rate, t_len)
+        tu_phase = _nco_advance(states.tu_phase, tunings, rate, t_len)
+        ft_state = states.fft_tuner
+    elif mix_mode == "general":
+        # any integral tuning: exact-numerator full-length mix
+        mixed, tu_phase = _tuner_full_mix(iq, states.tu_phase, tunings, rate)
+        ds, ds_tail = polyphase_decimate(mixed, jnp.asarray(taps), m,
+                                         tail=states.ds_tail,
+                                         gain=HOWARD_FUDGE_FACTOR)
         ft_state = states.fft_tuner
     else:
-        # irrational / long-period tunings: per-sample ramp fallback
-        def front1(iq1, ph1, tail1):
-            mixed, ph = _tuner_mix(iq1, ph1, tuning, rate)
-            ds1, tl = polyphase_decimate(mixed, jnp.asarray(taps), m,
-                                         tail=tail1,
-                                         gain=HOWARD_FUDGE_FACTOR)
-            return ds1, ph, tl
-
-        ds, tu_phase, ds_tail = jax.vmap(front1)(
-            iq, states.tu_phase, states.ds_tail)
+        # fractional tunings: STATIC per-stream host-f64 ramps (legacy)
+        assert mix_mode == "static" and len(static_tunings) == s
+        outs = []
+        for i, tun in enumerate(static_tunings):
+            mixed1, ph1 = _tuner_mix(iq[i], states.tu_phase[i], tun, rate)
+            ds1, tl1 = polyphase_decimate(mixed1, jnp.asarray(taps), m,
+                                          tail=states.ds_tail[i],
+                                          gain=HOWARD_FUDGE_FACTOR)
+            outs.append((ds1, ph1, tl1))
+        ds = CF(jnp.stack([o[0].re for o in outs]),
+                jnp.stack([o[0].im for o in outs]))
+        tu_phase = jnp.stack([o[1] for o in outs])
+        ds_tail = CF(jnp.stack([o[2].re for o in outs]),
+                     jnp.stack([o[2].im for o in outs]))
         ft_state = states.fft_tuner
 
     post = partial(_bpsk_post, t_len=t_len, max_hits=max_hits,
@@ -601,18 +700,22 @@ def _bpsk_block_batched(iq, states: BpskState, *, rate: int, tuning: float,
     return jax.vmap(post)(ds, states, tu_phase, ds_tail, ft_state)
 
 
-def bpsk_block(iq, cfg: BpskConfig,
-               state: BpskState) -> Tuple[BpskBlockOut, BpskState]:
+def bpsk_block(iq, cfg: BpskConfig, state: BpskState,
+               tuning=None) -> Tuple[BpskBlockOut, BpskState]:
     """Process one block [T] through the full telemetry chain.
 
     ``iq``: CF planar pair (or host numpy complex64, split on host). T
-    must be a multiple of cfg.decim. Returns extracted soft FEC windows
-    (feed to jsdr_tpu.fec.decoder.fec_decode) and the carried state.
+    must be a multiple of 8*cfg.decim (the timing recovery groups the
+    decimated stream into whole 8-sample bit periods — see
+    ``_timing_parallel``; at 96 kS/s that is a multiple of 80). Returns
+    extracted soft FEC windows (feed to jsdr_tpu.fec.decoder.fec_decode)
+    and the carried state.
     """
     iq = as_cf(iq)
     states = jax.tree.map(lambda x: x[None], state)
+    tunings = None if tuning is None else np.asarray([tuning])
     out, new_states = bpsk_block_batch(CF(iq.re[None], iq.im[None]),
-                                       cfg, states)
+                                       cfg, states, tunings)
     take0 = lambda x: x[0]
     return jax.tree.map(take0, out), jax.tree.map(take0, new_states)
 
@@ -625,14 +728,40 @@ def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
         lambda x: np.broadcast_to(x, (n_streams, *x.shape)).copy(), one)
 
 
-def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState,
+def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
                      use_pallas: bool | None = None
                      ) -> Tuple[BpskBlockOut, BpskState]:
-    """Batched telemetry chain over independent streams: [S, T] blocks."""
+    """Batched telemetry chain over independent streams: [S, T] blocks.
+
+    ``tunings``: host array-like [S] of per-stream NCO Hz (defaults to
+    cfg.tuning for every stream) — the analog of N FUNcubeBPSKDemod tabs
+    each with its own FUNcube<n>-bpsk-tuning (jsdr.java:479-484,
+    FUNcubeBPSKDemod.java:195-196). Integral tunings are traced data:
+    retuning between calls does NOT recompile. The host owns this array;
+    pass plain numpy/ints.
+    """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
+    iq = as_cf(iq)
+    s = iq.shape[0]
+    if tunings is None:
+        tunings = np.full(s, cfg.tuning, np.float64)
+    tun_np = np.asarray(tunings, np.float64).reshape(-1)
+    assert tun_np.shape[0] == s, (tun_np.shape, s)
+    static_tunings = None
+    if cfg.dofft:
+        mix_mode = "dofft"
+        tun_arr = np.zeros(s, np.int32)
+    elif np.all(tun_np == np.round(tun_np)):
+        mix_mode = "pattern" if pattern_mix_ok(tun_np, cfg.rate) \
+            else "general"
+        tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
+    else:
+        mix_mode = "static"
+        static_tunings = tuple(float(t) for t in tun_np)
+        tun_arr = np.zeros(s, np.int32)
     return _bpsk_block_batched(
-        as_cf(iq), states, rate=cfg.rate, tuning=cfg.tuning,
-        max_hits=cfg.max_hits_per_block, dofft=cfg.dofft,
+        iq, states, tun_arr, rate=cfg.rate, mix_mode=mix_mode,
+        static_tunings=static_tunings, max_hits=cfg.max_hits_per_block,
         track_high=cfg.track_high, compat_scan=cfg.compat_scan,
         use_pallas=bool(use_pallas))

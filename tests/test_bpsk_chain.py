@@ -70,6 +70,64 @@ def test_wrong_tuning_no_decode(rng):
     assert good == 0
 
 
+def test_per_stream_tunings_one_call(rng):
+    """Two streams with INDEPENDENT tunings (12 kHz and 9 kHz) decode in
+    ONE bpsk_block_batch call — the analog of N FUNcubeBPSKDemod tabs
+    each with its own FUNcube<n>-bpsk-tuning (jsdr.java:479-484,
+    FUNcubeBPSKDemod.java:195-196) — and retuning does NOT recompile."""
+    from jsdr_tpu.demod.bpsk import (_bpsk_block_batched, bpsk_block_batch,
+                                     bpsk_init_batch)
+
+    payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+    sig_a = synth_bpsk_stream(payloads[:1], rate=96000,
+                              carrier_offset=12000.0, preamble_bits=200)
+    sig_b = synth_bpsk_stream(payloads[1:], rate=96000,
+                              carrier_offset=9000.0, preamble_bits=200)
+    n = max(len(sig_a), len(sig_b))
+    n += (-n) % 96000
+    iq = np.zeros((2, n), np.complex64)
+    iq[0, :len(sig_a)] = sig_a
+    iq[1, :len(sig_b)] = sig_b
+
+    cfg = BpskConfig(rate=96000)
+    states = bpsk_init_batch(cfg, 2)
+    tunings = np.asarray([12000, 9000])
+    good = [0, 0]
+    block = 96000
+    for b in range(n // block):
+        out, states = bpsk_block_batch(iq[:, b * block:(b + 1) * block],
+                                       cfg, states, tunings)
+        for s in range(2):
+            nh = int(out.n_hits[s])
+            if not nh:
+                continue
+            res = fec_decode(out.windows[s, :nh])
+            for i in range(nh):
+                if bool(res.ok[i]) and np.array_equal(
+                        np.asarray(res.payload[i]), payloads[s]):
+                    good[s] += 1
+    assert good == [1, 1]
+    n_compiles = _bpsk_block_batched._cache_size()
+    # retune both streams: same compilation must be reused (traced data)
+    bpsk_block_batch(iq[:, :block], cfg, bpsk_init_batch(cfg, 2),
+                     np.asarray([9000, 12000]))
+    assert _bpsk_block_batched._cache_size() == n_compiles
+
+
+def test_general_mix_path_decodes(rng):
+    """A tuning whose NCO ramp is NOT 128-lane periodic (1200 Hz at
+    96 kS/s) takes the exact-numerator general path and still decodes."""
+    from jsdr_tpu.demod.bpsk import pattern_mix_ok
+
+    assert not pattern_mix_ok([1200], 96000)
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, carrier_offset=1200.0,
+                            preamble_bits=200)
+    cfg = BpskConfig(rate=96000, tuning=1200.0)
+    good, _, _ = _run_stream(sig, payloads, cfg, 96000)
+    assert good == 1
+
+
 def test_parallel_timing_equals_scan(rng):
     """The associative-scan timing recovery must produce bit-for-bit the
     same stream as the per-sample scan (compat mode)."""

@@ -185,29 +185,58 @@ def test_mix_decimate_fused_matches_reference(rng):
                                    atol=1e-5)
 
 
-def test_nco_pattern_matches_tuner_mix(rng):
+def test_nco_pattern_matches_full_mix(rng):
     """The 128-lane periodic NCO pattern tiles to exactly the per-sample
-    quantized-table ramp of _tuner_mix (FUNcubeBPSKDemod.java:381-397)."""
-    from jsdr_tpu.demod.bpsk import (_nco_pattern, _nco_period, _tuner_mix,
-                                     _nco_advance)
+    quantized-table ramp (FUNcubeBPSKDemod.java:381-397), per stream."""
+    from jsdr_tpu.demod.bpsk import (_nco_pattern, _tuner_full_mix,
+                                     _nco_advance, pattern_mix_ok)
     from jsdr_tpu.ops.cplx import CF
 
     rate, t = 96000, 9600
-    for tuning in (12000.0, 21000.0, 0.0):
-        q = _nco_period(tuning, rate)
-        assert q is not None and 128 % q == 0
-        x = CF(jnp.asarray(rng.normal(size=t).astype(np.float32)),
-               jnp.asarray(rng.normal(size=t).astype(np.float32)))
-        ph0 = jnp.asarray(np.float32(0.0))
-        want, ph_want = _tuner_mix(x, ph0, tuning, rate)
-        cos_pat, sin_pat = _nco_pattern(ph0, tuning, rate)
-        reps = t // 128
-        got_re = np.asarray(x.re).reshape(reps, 128) * np.asarray(cos_pat)
-        got_im = np.asarray(x.im).reshape(reps, 128) * np.asarray(sin_pat)
-        np.testing.assert_allclose(got_re.reshape(-1), np.asarray(want.re),
-                                   atol=1e-6)
-        np.testing.assert_allclose(got_im.reshape(-1), np.asarray(want.im),
-                                   atol=1e-6)
-        ph_got = _nco_advance(ph0, tuning, rate, t)
-        np.testing.assert_allclose(np.asarray(ph_got), np.asarray(ph_want),
-                                   atol=1e-6)
+    tunings = np.asarray([12000, 21000, 0], np.int32)
+    assert pattern_mix_ok(tunings, rate)
+    x = CF(jnp.asarray(rng.normal(size=(3, t)).astype(np.float32)),
+           jnp.asarray(rng.normal(size=(3, t)).astype(np.float32)))
+    nu0 = jnp.zeros(3, jnp.float32)
+    tu = jnp.asarray(tunings)
+    want, nu_want = _tuner_full_mix(x, nu0, tu, rate)
+    cos_pat, sin_pat = _nco_pattern(nu0, tu, rate)
+    reps = t // 128
+    got_re = (np.asarray(x.re).reshape(3, reps, 128)
+              * np.asarray(cos_pat)[:, None, :])
+    got_im = (np.asarray(x.im).reshape(3, reps, 128)
+              * np.asarray(sin_pat)[:, None, :])
+    np.testing.assert_array_equal(got_re.reshape(3, -1), np.asarray(want.re))
+    np.testing.assert_array_equal(got_im.reshape(3, -1), np.asarray(want.im))
+    nu_got = _nco_advance(nu0, tu, rate, t)
+    np.testing.assert_array_equal(np.asarray(nu_got), np.asarray(nu_want))
+
+
+def test_nco_numerators_exact():
+    """Exact int32 numerator ramp == the int64 ground truth for long
+    spans and awkward tunings (incl. the non-128-periodic 1200 Hz)."""
+    from jsdr_tpu.demod.bpsk import nco_numerators
+
+    rate, n = 96000, 1 << 19
+    for tu, start in ((12000, 1), (1200, 1), (191999 % rate, -1945),
+                      (7, 1), (95999, -345678)):
+        got = np.asarray(nco_numerators(
+            jnp.asarray(np.int32(12345)), jnp.asarray(np.int32(tu)),
+            n, rate, start=start))
+        i = np.arange(n, dtype=np.int64)
+        want = (12345 + (start + i) * tu) % rate
+        np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_static_fractional_tuner_mix(rng):
+    """The legacy static-tuning path handles fractional Hz tunings."""
+    from jsdr_tpu.demod.bpsk import _tuner_mix
+    from jsdr_tpu.ops.cplx import CF
+
+    rate, t = 96000, 1024
+    x = CF(jnp.asarray(rng.normal(size=t).astype(np.float32)),
+           jnp.asarray(rng.normal(size=t).astype(np.float32)))
+    mixed, nu = _tuner_mix(x, jnp.asarray(np.float32(0.0)), 12000.5, rate)
+    # phase numerator after t samples = (t * 12000.5) mod rate
+    np.testing.assert_allclose(float(nu), (t * 12000.5) % rate, atol=0.5)
+    assert not np.allclose(np.asarray(mixed.re), np.asarray(x.re))

@@ -1,6 +1,7 @@
 """Multi-chip sharding on the 8-device CPU mesh: the sharded telemetry
 step must match the single-device chain exactly (shard-count invariance),
-and frames must decode across time-shard boundaries."""
+carry state across segments (frames straddling two step calls decode),
+and support per-stream tunings."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +9,8 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_init, bpsk_block
+from jsdr_tpu.demod.bpsk import (BpskConfig, bpsk_init, bpsk_init_batch,
+                                 bpsk_block, bpsk_block_batch)
 from jsdr_tpu.fec.decoder import fec_decode
 from jsdr_tpu.io.sources import synth_bpsk_stream, synth_noise
 from jsdr_tpu.parallel import make_mesh, sharded_telemetry_step, sharded_spectrum
@@ -33,40 +35,107 @@ def streams(  ):
     return arr, payloads
 
 
+def _put(mesh, arr):
+    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P("dp", "sp")))
+
+
 def test_sharded_matches_single_device(streams):
     arr, payloads = streams
     mesh = make_mesh(dp=2, sp=4)
-    step = sharded_telemetry_step(mesh, rate=96000, tuning=12000.0)
-    x = jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P("dp", "sp")))
-    windows, corr, n_hits, n_bits = jax.block_until_ready(step(x))
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    step = sharded_telemetry_step(mesh, rate=96000)
+    states = bpsk_init_batch(cfg, 4)
+    out, new_states = jax.block_until_ready(step(_put(mesh, arr), states))
 
     # single-device reference for stream 0 and 1
-    cfg = BpskConfig(rate=96000, tuning=12000.0)
     for s in range(2):
         st = bpsk_init(cfg)
-        out, st = bpsk_block(jnp.asarray(arr[s]), cfg, st)
-        assert int(n_bits[s]) == int(out.n_bits)
-        assert int(n_hits[s]) == int(out.n_hits) == 1
-        assert int(corr[s, 0]) == int(out.hit_corr[0]) == 65
-        assert np.array_equal(np.asarray(windows[s, 0]),
-                              np.asarray(out.windows[0]))
-    res = fec_decode(windows)
+        ref, st = bpsk_block(jnp.asarray(arr[s]), cfg, st)
+        assert int(out.n_bits[s]) == int(ref.n_bits)
+        assert int(out.n_hits[s]) == int(ref.n_hits) == 1
+        assert int(out.hit_corr[s, 0]) == int(ref.hit_corr[0]) == 65
+        assert np.array_equal(np.asarray(out.windows[s, 0]),
+                              np.asarray(ref.windows[0]))
+        # carried state matches the single-device chain
+        assert int(new_states.timing.peak[s]) == int(st.timing.peak)
+        assert float(new_states.tu_phase[s]) == float(st.tu_phase)
+        assert np.array_equal(np.asarray(new_states.ring[s]),
+                              np.asarray(st.ring))
+        assert np.array_equal(np.asarray(new_states.counters[s]),
+                              np.asarray(st.counters))
+    res = fec_decode(out.windows)
     for s in range(2):
         assert bool(res.ok[s, 0])
         assert np.array_equal(np.asarray(res.payload[s, 0]), payloads[s])
 
 
+def test_sharded_state_chains_across_segments(streams):
+    """A frame that STRADDLES two consecutive sharded step calls decodes:
+    the carried BpskState (mixed-domain tail, VCO index, matched-filter
+    tail, timing, 5199-bit ring) spans the boundary exactly like the
+    reference's rolling window (FUNcubeBPSKDemod.java:503, 553-554)."""
+    arr, payloads = streams
+    t_len = arr.shape[-1]
+    half = t_len // 2                       # 3 s: frame 0 ends ~4.5 s
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    step = sharded_telemetry_step(mesh, rate=96000)
+
+    states = bpsk_init_batch(cfg, 4)
+    out1, states = step(_put(mesh, arr[:, :half]), states)
+    out2, states = jax.block_until_ready(step(_put(mesh, arr[:, half:]),
+                                              states))
+    assert int(out1.n_hits[0]) == 0         # frame not complete yet
+    assert int(out2.n_hits[0]) == 1         # found after the boundary
+    res = fec_decode(out2.windows[:2])
+    assert bool(res.ok[0, 0])
+    assert np.array_equal(np.asarray(res.payload[0, 0]), payloads[0])
+
+    # bit-exact vs the chained single-device batch over the same split
+    st = bpsk_init_batch(cfg, 4)
+    ref1, st = bpsk_block_batch(arr[:, :half], cfg, st)
+    ref2, st = bpsk_block_batch(arr[:, half:], cfg, st)
+    for o, r in ((out1, ref1), (out2, ref2)):
+        assert np.array_equal(np.asarray(o.n_bits), np.asarray(r.n_bits))
+        assert np.array_equal(np.asarray(o.n_hits), np.asarray(r.n_hits))
+        assert np.array_equal(np.asarray(o.windows), np.asarray(r.windows))
+    assert np.array_equal(np.asarray(states.counters), np.asarray(st.counters))
+
+
+def test_sharded_per_stream_tunings(streams):
+    """Independent per-stream tunings in the sharded step: stream 1's
+    signal shifted to a 9 kHz offset decodes alongside stream 0 at
+    12 kHz in one step call."""
+    arr, payloads = streams
+    t_len = arr.shape[-1]
+    t = np.arange(1, t_len + 1, dtype=np.float64)
+    shift = np.exp(-2j * np.pi * 3000.0 * t / 96000.0)   # 12 kHz -> 9 kHz
+    arr2 = arr.copy()
+    arr2[1] = (arr[1] * shift).astype(np.complex64)
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=96000)
+    step = sharded_telemetry_step(mesh, rate=96000)
+    out, _ = jax.block_until_ready(
+        step(_put(mesh, arr2), bpsk_init_batch(cfg, 4),
+             tunings=[12000, 9000, 12000, 12000]))
+    assert int(out.n_hits[0]) == 1 and int(out.n_hits[1]) == 1
+    res = fec_decode(out.windows[:2])
+    assert bool(res.ok[0, 0]) and bool(res.ok[1, 0])
+    assert np.array_equal(np.asarray(res.payload[1, 0]), payloads[1])
+
+
 def test_mesh_shape_invariance(streams):
     """dp x sp factorization must not change results."""
     arr, _ = streams
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
     results = []
     for dp, sp in [(4, 2), (2, 4), (1, 8)]:
         mesh = make_mesh(dp=dp, sp=sp)
-        step = sharded_telemetry_step(mesh, rate=96000, tuning=12000.0)
-        x = jax.device_put(jnp.asarray(arr[:4]),
-                           NamedSharding(mesh, P("dp", "sp")))
-        w, c, h, b = jax.block_until_ready(step(x))
-        results.append((np.asarray(w), np.asarray(h), np.asarray(b)))
+        step = sharded_telemetry_step(mesh, rate=96000)
+        out, _ = jax.block_until_ready(
+            step(_put(mesh, arr[:4]), bpsk_init_batch(cfg, 4)))
+        results.append((np.asarray(out.windows), np.asarray(out.n_hits),
+                        np.asarray(out.n_bits)))
     for w, h, b in results[1:]:
         assert np.array_equal(w, results[0][0])
         assert np.array_equal(h, results[0][1])
