@@ -33,6 +33,86 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_fec(log):
+    """Timed batched AO-40 fec_decode (deinterleave -> Viterbi -> RS x2 ->
+    re-encode + error count), the decode tail that runs per detected
+    frame (FECDecoder.java:703-852 work unit). Chain budget: one frame
+    per stream per ~4.33 s (5200 symbols at 1200 bps), i.e. 0.23
+    frames/s/stream — the frames/s here is how many concurrent streams'
+    decode tails one chip absorbs."""
+    import jax
+    import jax.numpy as jnp
+    from jsdr_tpu.fec.decoder import fec_decode
+    from jsdr_tpu.fec.ref_numpy import encode_fec40, symbols_to_soft
+
+    rng = np.random.default_rng(1)
+    for batch in (64, 256):
+        payloads = rng.integers(0, 256, (batch, 256), dtype=np.uint8)
+        raws = np.stack([symbols_to_soft(encode_fec40(p)) for p in payloads])
+        for r in raws:   # ~2.3% channel symbol errors: real ACS/BM work
+            r[rng.choice(5200, 120, replace=False)] ^= 0x80
+        x = jax.device_put(jnp.asarray(raws, dtype=jnp.uint8))
+        t0 = time.time()
+        res = jax.block_until_ready(fec_decode(x))
+        ok = int(res.ok.sum())
+        t_compile = time.time() - t0
+        iters = 10
+        t0 = time.time()
+        for _ in range(iters):
+            res = fec_decode(x)
+        jax.block_until_ready(res)
+        dt = (time.time() - t0) / iters
+        log(f"fec_decode batch={batch}: {dt*1000:.1f} ms -> "
+            f"{batch/dt:.0f} frames/s ({ok}/{batch} ok, 120 chan errs each; "
+            f"compile+first {t_compile:.1f}s) -> headroom ~"
+            f"{batch/dt/0.231:.0f} realtime streams/chip")
+
+
+def bench_ingest(log):
+    """Ingest-path comparison: raw int16 upload + on-device planar convert
+    (io/convert_device.s16_to_cf) vs host-side convert + planar float32
+    upload. Device convert halves the transferred bytes and moves the
+    scale/DC loop onto the VPU."""
+    import jax
+    import jax.numpy as jnp
+    from jsdr_tpu.io.convert import s16le_to_complex
+    from jsdr_tpu.io.convert_device import s16_to_cf
+    from jsdr_tpu.ops.cplx import from_complex
+
+    rng = np.random.default_rng(2)
+    n = 4_800_000                       # 50 s at 96k: 19.2 MB of S16LE
+    s16 = rng.integers(-32768, 32768, 2 * n, dtype=np.int16)
+    ic, qc = jnp.int32(3), jnp.int32(-5)
+
+    dev = jax.block_until_ready(               # warm both paths
+        s16_to_cf(jax.device_put(s16), ic, qc))
+    host_ref = s16le_to_complex(s16, 2, 3, -5)
+    import numpy as _np
+    assert _np.array_equal(_np.asarray(dev.re), host_ref.real), \
+        "device convert mismatch on TPU"
+    log(f"ingest: device convert verified on "
+        f"{jax.devices()[0].platform} backend")
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = s16_to_cf(jax.device_put(s16), ic, qc)
+    jax.block_until_ready(out)
+    dt_dev = (time.time() - t0) / iters
+    t0 = time.time()
+    for _ in range(iters):
+        host = s16le_to_complex(s16, 2, 3, -5)
+        out = jax.device_put(from_complex(host))
+    jax.block_until_ready(out)
+    dt_host = (time.time() - t0) / iters
+    mb = s16.nbytes / 1e6
+    log(f"ingest {n/1e6:.1f}M samples ({mb:.0f} MB raw): "
+        f"int16 upload + device convert {dt_dev*1000:.0f} ms "
+        f"({n/dt_dev/1e6:.1f} MS/s) vs host convert + float upload "
+        f"{dt_host*1000:.0f} ms ({n/dt_host/1e6:.1f} MS/s) "
+        f"-> device path {dt_host/dt_dev:.2f}x")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -103,6 +183,9 @@ def main():
         f"for {samples/1e6:.1f}M samples")
     log(f"end-to-end incl. one-time upload amortized over {iters} steps: "
         f"{samples*iters/(total+up)/1e6:.1f} MS/s")
+
+    bench_fec(log)
+    bench_ingest(log)
 
     print(json.dumps({
         "metric": "IQ Msamples/s/chip through FFT+FIR+BPSK chain",

@@ -104,6 +104,68 @@ def cmd_spectrum(args):
         wf.push_many(psd)
         render_waterfall_png(args.png, wf.buf)
         print(f"waterfall -> {args.png}")
+    if args.psd_png:
+        from ..display import render_spectrum_png
+        band = None
+        if args.overlay_filter:
+            band = tuple(int(v) for v in args.overlay_filter.split(":"))
+        tunings = ([int(v) for v in args.overlay_tuning.split(",")]
+                   if args.overlay_tuning else ())
+        render_spectrum_png(args.psd_png, psd[0], rate,
+                            filter_band=band, tunings=tunings)
+        print(f"spectrum -> {args.psd_png}")
+
+
+def _demod_cfg(args, rate):
+    from ..demod.am_fm import AmFmConfig, Mode
+    mode = {"off": Mode.OFF, "raw": Mode.RAW, "am": Mode.AM,
+            "nfm": Mode.NFM, "wfm": Mode.WFM}[args.mode]
+    return AmFmConfig(rate=rate, mode=int(mode), dofir=args.flo is not None,
+                      dodwn=args.downshift, doagc=args.agc,
+                      flo=args.flo, fhi=args.fhi)
+
+
+def _is_live(name: str) -> bool:
+    return name.startswith(("pipe:", "capture:")) or name == "-"
+
+
+def cmd_demod_stream(args):
+    """Streaming demod: live pipe/capture ingest (or real-time paced file
+    replay) -> demod -> real-time audio sink. This is the application
+    loop of the reference (JavaAudio capture thread -> demod tab ->
+    SourceDataLine), built on the Session executor."""
+    from ..io.live import AudioSink, PacedSource, StreamSource
+    from ..io.sources import FileSource
+    from ..runtime.executor import AudioSinkStage, DemodStage, Session
+
+    rate = args.rate
+    if _is_live(args.source):
+        src = StreamSource(args.source, rate=rate,
+                           i_corr=args.icorr, q_corr=args.qcorr)
+        chunks = iter(src)
+    else:
+        fsrc = FileSource(args.source.removeprefix("file:"), rate=rate,
+                          channels=2, i_corr=args.icorr, q_corr=args.qcorr,
+                          loop=args.loop)
+        rate = fsrc.rate
+        chunks = PacedSource(fsrc.blocks(rate // 10), rate)
+    sink = AudioSink(args.audio_out or args.out)
+    session = Session(source=chunks, block_samples=rate // 10)
+    stages = [DemodStage(_demod_cfg(args, rate)), AudioSinkStage(sink)]
+    try:
+        n = session.run(stages, max_blocks=args.blocks)
+    finally:
+        sink.close()
+    rep = session.timers.report()
+    d = rep.get("demod", {})
+    print(f"{n} blocks ({n * 0.1:.1f}s) demodulated ({args.mode}) -> "
+          f"{args.audio_out or args.out}; sink wrote {sink.blocks_written} "
+          f"blocks, {sink.overruns} overruns, "
+          f"{session.dropped_blocks or 'no'} dropped")
+    if d:
+        print(f"demod stage: {d['samples'] / max(d['wall_s'], 1e-9) / 1e6:.1f} "
+              f"MS/s ({d['wall_s'] / max(d['calls'], 1):.4f} s/block)")
+    return 0
 
 
 def cmd_demod(args):
@@ -111,6 +173,8 @@ def cmd_demod(args):
     from ..demod.am_fm import AmFmConfig, AmFmState, Mode, demod_block, \
         audio_to_s16_stereo
 
+    if _is_live(args.source) or args.pace:
+        return cmd_demod_stream(args)
     iq, rate = _load_iq(args, args.rate)
     mode = {"off": Mode.OFF, "raw": Mode.RAW, "am": Mode.AM,
             "nfm": Mode.NFM, "wfm": Mode.WFM}[args.mode]
@@ -345,6 +409,14 @@ def main(argv=None):
     sp.add_argument("--show", type=int, default=5)
     sp.add_argument("--ascii", action="store_true")
     sp.add_argument("--png")
+    sp.add_argument("--psd-png",
+                    help="spectrum display with reference overlays "
+                    "(reticle, filter band, tuning bars; fft.java paint)")
+    sp.add_argument("--overlay-filter", metavar="LO:HI",
+                    help="demod filter band overlay in Hz "
+                    "(fft.java:98-106)")
+    sp.add_argument("--overlay-tuning", metavar="HZ[,HZ...]",
+                    help="BPSK tuning bar overlays (fft.java:152-173)")
     sp.set_defaults(fn=cmd_spectrum)
 
     dm = sub.add_parser("demod", help="AM/FM audio demodulation")
@@ -356,6 +428,17 @@ def main(argv=None):
     dm.add_argument("--downshift", action="store_true")
     dm.add_argument("--agc", action="store_true")
     dm.add_argument("--out", default="audio.raw")
+    dm.add_argument("--audio-out", default=None,
+                    help="live audio sink: 'cmd:aplay -f S16_LE -r 96000 "
+                    "-c 2 -t raw', '-' (stdout), or a file/FIFO path "
+                    "(demod.java:489-506 analog)")
+    dm.add_argument("--pace", action="store_true",
+                    help="replay a file source at real-time rate "
+                    "(JavaAudio.java:231-233 pacing)")
+    dm.add_argument("--loop", action="store_true",
+                    help="loop the file source at EOF")
+    dm.add_argument("--blocks", type=int, default=None,
+                    help="stop streaming after N 0.1s blocks")
     dm.set_defaults(fn=cmd_demod)
 
     tl = sub.add_parser("telemetry", help="FUNcube BPSK + AO-40 FEC")

@@ -647,7 +647,10 @@ def _bpsk_block_batched(iq, states: BpskState, tunings, *, rate: int,
 
     m = rate // DOWN_SAMPLE_RATE
     s, t_len = iq.shape
-    assert t_len % m == 0, "block must be a multiple of the decimation ratio"
+    assert t_len % (8 * m) == 0, (
+        f"block length {t_len} must be a multiple of 8*decim = {8 * m} "
+        "(timing recovery groups the decimated stream into whole "
+        "8-sample bit periods)")
     taps = DS_FILTER.astype(np.float32)
     if mix_mode == "dofft":
         samples = rate // 10      # the reference's 0.1 s FFT cadence

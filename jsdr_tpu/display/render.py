@@ -28,8 +28,100 @@ def write_png_gray(path: str | Path, img: np.ndarray) -> None:
     Path(path).write_bytes(out)
 
 
-def render_waterfall_png(path: str | Path, waterfall_buf: np.ndarray) -> None:
-    write_png_gray(path, waterfall_buf)
+def write_png_rgb(path: str | Path, img: np.ndarray) -> None:
+    """8-bit RGB PNG writer (stdlib only). img: [h, w, 3] uint8."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    out = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+           + _png_chunk(b"IEND", b""))
+    Path(path).write_bytes(out)
+
+
+CYAN = (0, 255, 255)
+
+
+def render_waterfall_png(path: str | Path, waterfall_buf: np.ndarray,
+                         peak=CYAN) -> None:
+    """Waterfall image with the reference's peak-color law: each pixel is
+    the peak color scaled by intensity/256 (waterfall.java:100-104;
+    default peak CYAN as the reference's default). ``peak=None`` keeps
+    the raw intensity as grayscale."""
+    buf = np.asarray(waterfall_buf, dtype=np.uint16)
+    if peak is None:
+        write_png_gray(path, buf.astype(np.uint8))
+        return
+    rgb = np.stack([buf * c // 256 for c in peak], axis=-1).astype(np.uint8)
+    write_png_rgb(path, rgb)
+
+
+_FILTER_BAND_COLOR = (0x1F, 0x1F, 0x00)    # fft.java:32 tcol
+_RETICLE = (0x40, 0x40, 0x40)              # Color.DARK_GRAY
+_TRACE = (0, 255, 0)                       # Color.GREEN psd trace
+_TUNE = (0, 255, 255)                      # Color.CYAN tuning bars
+
+
+def render_spectrum_png(path: str | Path, psd: np.ndarray, rate: float,
+                        filter_band=None, tunings=(), centre_bins=(),
+                        width: int = 1024, height: int = 512) -> None:
+    """Spectrum display with the reference's overlays (fft.java paint):
+
+    - demod filter band as a shaded region, x = width*f/rate + centre
+      (fft.java:98-106, fed by the demod-filter-low/high topics)
+    - dB reticle every height/10 (-10 dB per line) and symmetric
+      frequency gridlines every (rate/20/10)*10 Hz (fft.java:108-128)
+    - per-pixel-column max PSD trace with the 0->+f/2->-f/2 wrap so 0 Hz
+      sits mid-screen (fft.java:142-150)
+    - BPSK tuning bars: ``tunings`` in Hz (FUNcube<n>-bpsk-tune) and
+      ``centre_bins`` as FFT bin indices (FUNcube<n>-bpsk-centre),
+      full-height cyan lines (fft.java:152-173)
+    """
+    psd = np.asarray(psd, dtype=np.float32)
+    n = len(psd)
+    img = np.zeros((height, width, 3), np.uint8)
+    off = width // 2
+
+    def fx(f):   # frequency -> pixel column (fft.java:103-104, 168)
+        return int(width * float(f) / float(rate)) + off
+
+    if filter_band is not None:
+        lo, hi = sorted(fx(f) for f in filter_band)
+        img[:, max(lo, 0):min(hi, width)] = _FILTER_BAND_COLOR
+
+    yh = height // 10
+    for y in range(yh, height, yh):             # dB reticle
+        img[y, :] = np.maximum(img[y, :], _RETICLE)
+    fs = (int(rate) // 20 // 10) * 10           # freq gridline step
+    xs = max(int(width * fs / rate), 1)
+    for x in range(0, off, xs):
+        img[:, off + x] = np.maximum(img[:, off + x], _RETICLE)
+        if x > 0:
+            img[:, off - x] = np.maximum(img[:, off - x], _RETICLE)
+
+    step = n / width                            # fft.java:96 resampling
+    # (dat.length/2 = N samples; psd has N bins spread over the width)
+    ys = height / -100.0                        # -100 dBFS at bottom edge
+    ly = int(np.clip(psd[0] * ys, 0, height - 1))
+    for p in range(width - 1):
+        i = (p + off) % width                   # 0-<pos>-<neg> wrap
+        a = int(p * step)
+        b = max(a + int(step), a + 1)
+        y = int(np.clip(psd[min(a, n - 1):min(b, n)].max() * ys,
+                        0, height - 1))
+        y0, y1 = sorted((ly, y))
+        img[y0:y1 + 1, i] = _TRACE
+        ly = y
+    for cb in centre_bins:                      # centre bars are bin-indexed
+        x = int(cb / step) + off                # fft.java:159
+        if 0 <= x < width:
+            img[:, x] = _TUNE
+    for f in tunings:                           # tune bars are Hz
+        x = fx(f)
+        if 0 <= x < width:
+            img[:, x] = _TUNE
+    write_png_rgb(path, img)
 
 
 def render_psd_ascii(psd: np.ndarray, width: int = 100, height: int = 20,

@@ -26,6 +26,25 @@ from .windows import hamming
 _EPS = 1e-30  # avoid log(0); reference happily takes -inf
 
 
+def bin_to_hz(signed_bin: jnp.ndarray, rate: int, n: int) -> jnp.ndarray:
+    """floor(signed_bin * rate / n) without int32 overflow.
+
+    The naive ``signed * rate // n`` wraps for large transforms
+    (n=192000 at 96 kS/s puts |bin*rate| ~ 2.4e9 past int32); reduce by
+    gcd, then split the division: for a = q*n' + s (0 <= s < n'),
+    floor(a*r'/n') = q*r' + floor(s*r'/n') — every product stays within
+    int32 for any realistic rate/n pair. Keeps the reference's integer
+    truncation convention (fft.java:215-220)."""
+    import math
+    g = math.gcd(int(rate), int(n))
+    r, m = int(rate) // g, int(n) // g
+    if m == 1:
+        return signed_bin * r
+    q = signed_bin // m
+    s = signed_bin % m          # nonneg for positive m (floor semantics)
+    return q * r + (s * r) // m
+
+
 class SpectrumResult(NamedTuple):
     psd: jnp.ndarray       # [..., N] dBFS
     peak_freq: jnp.ndarray  # [...] Hz (signed)
@@ -56,7 +75,7 @@ def spectrum_block(iq, rate: float, window: bool = True) -> SpectrumResult:
     peak_db = jnp.take_along_axis(psd, p[..., None], axis=-1)[..., 0]
     signed = jnp.where(p < n // 2, p, p - n)
     # integer truncation parity with fft.java:215-220 (int arithmetic)
-    peak_freq = (signed * int(rate)) // n
+    peak_freq = bin_to_hz(signed, int(rate), n)
     return SpectrumResult(psd, peak_freq.astype(jnp.int32), peak_db)
 
 
@@ -93,7 +112,7 @@ def spectrum_wide(iq, n: int, rate: float, window: bool = True,
     peak_db = jnp.take_along_axis(flat, p[..., None], axis=-1)[..., 0]
     k_nat = n1 * (p % n2) + p // n2
     signed = jnp.where(k_nat < n // 2, k_nat, k_nat - n)
-    peak_freq = ((signed * int(rate)) // n).astype(jnp.int32)
+    peak_freq = bin_to_hz(signed, int(rate), n).astype(jnp.int32)
     psd = spectrum_natural_order(psd_perm) if natural else psd_perm
     return SpectrumResult(psd, jnp.swapaxes(peak_freq, 0, 1),
                           jnp.swapaxes(peak_db, 0, 1))

@@ -37,6 +37,7 @@ class Session:
     timers: StageTimers = field(default_factory=StageTimers)
     checkpoint_path: Optional[Path] = None
     checkpoint_every_blocks: int = 0
+    dropped_blocks: dict = field(default_factory=dict)  # stage name -> count
 
     def run(self, stages: list["Stage"], max_blocks: Optional[int] = None):
         """Drive blocks through the stages until the source ends."""
@@ -54,6 +55,11 @@ class Session:
                     dev = as_cf(block)   # host split; planes upload at jit
                 for stage in stages:
                     with self.timers.stage(stage.name, samples=len(block)):
+                        # snapshot carried state so a retry re-runs the block
+                        # against the SAME state the failed attempt saw (the
+                        # first attempt may have advanced state before dying
+                        # in e.g. a publish callback)
+                        state0 = stage.state
                         try:
                             stage.process(dev, self)
                         except Exception as e:  # noqa: BLE001
@@ -62,12 +68,23 @@ class Session:
                             # the block for this stage and keep streaming
                             self.logger.alert(
                                 f"stage {stage.name} failed: {e!r:.120}; retrying")
+                            stage.state = state0
                             try:
                                 stage.process(dev, self)
                             except Exception as e2:  # noqa: BLE001
+                                stage.state = state0
+                                self.dropped_blocks[stage.name] = (
+                                    self.dropped_blocks.get(stage.name, 0) + 1)
                                 self.logger.alert(
                                     f"stage {stage.name} failed twice; "
-                                    f"skipping block {n}: {e2!r:.120}")
+                                    f"dropping block {n} "
+                                    f"(total dropped: "
+                                    f"{self.dropped_blocks[stage.name]}): "
+                                    f"{e2!r:.120}")
+                                self.pubsub.publish(
+                                    "dropped-block",
+                                    {"stage": stage.name, "block": n,
+                                     "total": self.dropped_blocks[stage.name]})
                 self.pubsub.publish("audio-frame", n)
                 n += 1
                 if (self.checkpoint_path and self.checkpoint_every_blocks
@@ -194,6 +211,33 @@ class DemodStage(Stage):
         from ..demod.am_fm import demod_block
         audio, mx, avg, self.state = demod_block(block, self.cfg, self.state)
         session.pubsub.publish("audio-out", np.asarray(audio))
+
+
+class AudioSinkStage(Stage):
+    """Real-time audio output stage: subscribes to the demod stage's
+    'audio-out' blocks and feeds them to a live sink (demod.java:489-506
+    analog — the writer thread lives in :class:`~jsdr_tpu.io.live.AudioSink`).
+
+    Place it AFTER the DemodStage in the stage list; it consumes the
+    block published during this executor iteration.
+    """
+
+    name = "audio-sink"
+
+    def __init__(self, sink):
+        self.sink = sink                 # an io.live.AudioSink
+        self._last = None
+
+    def process(self, block, session: Session):
+        audio = session.pubsub.get("audio-out")
+        # identity check: if the demod stage dropped this block, don't
+        # replay the previous block's audio
+        if audio is not None and audio is not self._last:
+            self.sink.write(audio)
+            self._last = audio
+
+    def close(self):
+        self.sink.close()
 
 
 class RecorderStage(Stage):

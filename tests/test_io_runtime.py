@@ -173,9 +173,122 @@ def test_streaming_executor_session(rng):
 
 def test_device_side_conversion_matches_host(rng):
     import jax.numpy as jnp
-    from jsdr_tpu.io.convert_device import s16_interleaved_to_complex, upload_raw
+    from jsdr_tpu.io.convert_device import s16_to_cf, upload_raw
+    from jsdr_tpu.ops.cplx import to_complex
     s = rng.integers(-32768, 32768, 4096, dtype=np.int16)
-    dev = np.asarray(s16_interleaved_to_complex(
-        upload_raw(s), jnp.int16(3), jnp.int16(-5)))
+    dev = to_complex(s16_to_cf(upload_raw(s), jnp.int32(3), jnp.int32(-5)))
     host = convert.s16le_to_complex(s, 2, 3, -5)
     assert np.array_equal(dev, host)
+    # wrap-around parity: corrections that overflow Java short arithmetic
+    big = np.full(64, 32000, dtype=np.int16)
+    dev = to_complex(s16_to_cf(upload_raw(big), jnp.int32(2000), jnp.int32(-40000)))
+    host = convert.s16le_to_complex(big, 2, 2000, -40000)
+    assert np.array_equal(dev, host)
+    # mono maps to Q=0 (JavaAudio.java:49-57 mono path)
+    mono = rng.integers(-32768, 32768, 128, dtype=np.int16)
+    dev = to_complex(s16_to_cf(upload_raw(mono), jnp.int32(0), jnp.int32(0),
+                               channels=1))
+    host = convert.s16le_to_complex(mono, 1, 0, 0)
+    assert np.array_equal(dev, host)
+
+
+def test_executor_retry_restores_state_and_counts_drops(rng):
+    """A failing stage must (a) retry against the state it started the
+    block with — not state advanced by the failed attempt — and (b) on a
+    double failure restore state, count the drop, and publish a gap
+    marker (fixes the silent-skip/reprocess hazard of the retry loop)."""
+    from jsdr_tpu.runtime.executor import Session, Stage
+
+    sig = sources.synth_noise(4 * 1024, seed=0)
+
+    class FlakyStage(Stage):
+        name = "flaky"
+
+        def __init__(self):
+            self.state = 0
+            self.calls = 0
+
+        def process(self, block, session):
+            self.calls += 1
+            start = self.state
+            self.state = start + 1          # advance BEFORE failing
+            if self.calls == 2:             # first attempt at block 1 dies
+                raise RuntimeError("transient")
+
+    class DeadStage(Stage):
+        name = "dead"
+
+        def __init__(self):
+            self.state = 123
+
+        def process(self, block, session):
+            self.state = 999
+            raise RuntimeError("always")
+
+    markers = []
+    flaky, dead = FlakyStage(), DeadStage()
+    s = Session(source=iter([sig]), block_samples=1024)
+    s.pubsub.listen(lambda t, v: markers.append(v) if t == "dropped-block" else None)
+    n = s.run([flaky, dead])
+    assert n == 4
+    # flaky: 4 blocks + 1 retry = 5 calls; retry saw the pre-attempt state,
+    # so state advanced exactly once per block
+    assert flaky.calls == 5
+    assert flaky.state == 4
+    # dead: every block dropped, state never corrupted by failed attempts
+    assert dead.state == 123
+    assert s.dropped_blocks == {"dead": 4}
+    assert [m["block"] for m in markers] == [0, 1, 2, 3]
+    assert markers[-1]["total"] == 4
+
+
+def test_spectrum_overlays_and_waterfall_peak_color(tmp_path, rng):
+    """Display-overlay parity: filter band region (fft.java:98-106),
+    dB/freq reticle (fft.java:108-128), tuning bars (fft.java:152-173),
+    waterfall peak-color law (waterfall.java:100-104)."""
+    import zlib
+    from jsdr_tpu.display import (Waterfall, render_spectrum_png,
+                                  render_waterfall_png)
+
+    def read_png_rgb(path):
+        data = path.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        assert data[25] == 2                      # color type RGB
+        idat = data[data.index(b"IDAT") + 4:data.index(b"IEND") - 4]
+        raw = zlib.decompress(idat)
+        rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + w * 3)
+        assert np.all(rows[:, 0] == 0)
+        return rows[:, 1:].reshape(h, w, 3)
+
+    psd = rng.uniform(-95.0, -60.0, 9600).astype(np.float32)
+    p = tmp_path / "spec.png"
+    render_spectrum_png(p, psd, rate=96000, filter_band=(-3000, 3000),
+                        tunings=(12000,), centre_bins=(204,),
+                        width=640, height=320)
+    img = read_png_rgb(p)
+    off = 320
+    # filter band: +/-3000 Hz -> 20 px either side of centre, tcol fill
+    x_in = off - 10
+    assert tuple(img[0, x_in]) == (0x1F, 0x1F, 0x00)
+    # tuning bar at 12 kHz -> x = 640*12000/96000 + off = 400, full height
+    assert np.all(img[:, 400] == (0, 255, 255))
+    # centre bar at bin 204, step = 9600/640 = 15 -> x = 13 + off
+    assert np.all(img[:, off + 13] == (0, 255, 255))
+    # dB reticle line at height/10
+    assert tuple(img[32, 4]) == (0x40, 0x40, 0x40)
+    # the PSD trace put green somewhere on most columns
+    green = (img[:, :, 1] == 255) & (img[:, :, 0] == 0) & (img[:, :, 2] == 255)
+    # (exclude cyan: green channel alone)
+    trace = (img == np.array([0, 255, 0])).all(-1)
+    assert trace.any(axis=0).mean() > 0.9
+
+    wf = Waterfall(width=64, height=4)
+    wf.push(psd[:64] * 0 - 50.0)                  # flat -50 dB line
+    p2 = tmp_path / "wf.png"
+    render_waterfall_png(p2, wf.buf)              # default CYAN peak
+    img2 = read_png_rgb(p2)
+    inten = int(np.clip(255 - (-50.0) * -2.55, 0, 255))   # 127
+    assert tuple(img2[0, 0]) == (0, 255 * inten // 256, 255 * inten // 256)
+    assert tuple(img2[1, 0]) == (0, 0, 0)         # scrolled rows empty

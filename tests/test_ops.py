@@ -240,3 +240,19 @@ def test_static_fractional_tuner_mix(rng):
     # phase numerator after t samples = (t * 12000.5) mod rate
     np.testing.assert_allclose(float(nu), (t * 12000.5) % rate, atol=0.5)
     assert not np.allclose(np.asarray(mixed.re), np.asarray(x.re))
+
+
+def test_peak_freq_no_int32_overflow():
+    """bin->Hz on a LARGE transform: the naive signed*rate//n wraps int32
+    (n=192000 at 96k puts bin*rate at -2.37e9) and reported +10024 Hz for
+    a -12345 Hz tone. Regression for ops.spectrum.bin_to_hz."""
+    from jsdr_tpu.io.sources import synth_sine
+    from jsdr_tpu.ops.spectrum import spectrum_block
+    n, rate = 192000, 96000.0
+    tone = synth_sine(n, -12345.0, rate, amplitude=0.5)
+    res = spectrum_block(jnp.asarray(tone[None]), rate=rate, window=True)
+    assert int(res.peak_freq[0]) == -12345
+    # and the positive image of the truncation convention still holds
+    tone = synth_sine(n, 23456.0, rate, amplitude=0.5)
+    res = spectrum_block(jnp.asarray(tone[None]), rate=rate, window=True)
+    assert int(res.peak_freq[0]) == 23456

@@ -153,3 +153,77 @@ def test_sharded_spectrum(streams):
     # stream 0 carries BPSK spread around 13.2 kHz; the peak wanders
     # within the +-1200 Hz main lobe
     assert abs(int(res.peak_freq[0]) - 13200) < 1300
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel FFT (intra-op sharding of ONE large transform)
+# ---------------------------------------------------------------------------
+
+
+def _shard_rows_time(mesh, x):
+    """Place [B, N] complex on the mesh: rows over dp, time over sp."""
+    from jsdr_tpu.ops.cplx import CF
+    sh = NamedSharding(mesh, P("dp", "sp"))
+    re = jax.device_put(np.ascontiguousarray(x.real, np.float32), sh)
+    im = jax.device_put(np.ascontiguousarray(x.imag, np.float32), sh)
+    return CF(re, im)
+
+
+def test_tp_fft_matches_numpy():
+    from jsdr_tpu.parallel.tp import tp_fft
+    rng = np.random.default_rng(5)
+    n = 4096
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+         ).astype(np.complex64)
+    mesh = make_mesh(dp=2, sp=4)
+    y = tp_fft(mesh, n)(_shard_rows_time(mesh, x))
+    got = np.asarray(y.re) + 1j * np.asarray(y.im)
+    ref = np.fft.fft(x)
+    np.testing.assert_allclose(got, ref, atol=n * 2e-6)
+
+
+def test_tp_fft_mesh_shape_invariance():
+    """The same transform sharded 2 ways (and unsharded) agrees —
+    the TP decomposition is an implementation detail, not semantics."""
+    from jsdr_tpu.ops.mxu_fft import fft_cf
+    from jsdr_tpu.ops.cplx import from_complex, to_complex
+    from jsdr_tpu.parallel.tp import tp_fft
+    rng = np.random.default_rng(6)
+    n = 2048
+    x = (rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))
+         ).astype(np.complex64)
+    outs = []
+    for dp, sp in ((1, 8), (4, 2)):
+        mesh = make_mesh(dp=dp, sp=sp)
+        y = tp_fft(mesh, n)(_shard_rows_time(mesh, x))
+        outs.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    single = to_complex(jax.jit(fft_cf)(from_complex(x)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=n * 1e-6)
+    np.testing.assert_allclose(outs[0], single, atol=n * 2e-6)
+
+
+def test_tp_spectrum_matches_spectrum_block():
+    """One giant windowed PSD sharded over the mesh == the single-device
+    spectrum (fft.java formula), peaks included."""
+    from jsdr_tpu.ops.spectrum import spectrum_block
+    from jsdr_tpu.io.sources import synth_sine
+    from jsdr_tpu.parallel.tp import tp_spectrum
+    n = 96000 * 2                              # a 2 s single transform
+    rate = 96000.0
+    # tone + noise: every bin carries real power, so the dB comparison is
+    # meaningful everywhere (a pure tone's off-peak bins are numerical
+    # noise at -200 dBFS where different matmul orders legitimately differ)
+    tones = np.stack([synth_sine(n, f, rate, amplitude=0.5)
+                      + synth_noise(n, 0.01, seed=int(abs(f)))
+                      for f in (4410.0, -12345.0)])
+    mesh = make_mesh(dp=2, sp=4)
+    db, freq, peak_db = tp_spectrum(mesh, n, rate)(
+        _shard_rows_time(mesh, tones))
+    ref = spectrum_block(jnp.asarray(tones), rate=rate, window=True)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(ref.psd),
+                               atol=0.15)   # deep-null bins are
+    # cancellation-limited; 0.1 dB there is numerical, not semantic
+    assert list(np.asarray(freq)) == list(np.asarray(ref.peak_freq))
+    assert np.asarray(freq)[0] == 4410 and np.asarray(freq)[1] == -12345
+    np.testing.assert_allclose(np.asarray(peak_db),
+                               np.asarray(ref.peak_db), atol=1e-3)
