@@ -113,6 +113,53 @@ def bench_ingest(log):
         f"-> device path {dt_host/dt_dev:.2f}x")
 
 
+def bench_192k(log):
+    """Full chain at the FCD V2 rate (192 kS/s, decim=20 —
+    jsdr.java:271-277): the second hardware configuration the reference
+    supports. Same methodology as the headline number."""
+    import jax
+    import jax.numpy as jnp
+    from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_block_batch, \
+        bpsk_init_batch
+    from jsdr_tpu.io.sources import synth_bpsk_stream
+    from jsdr_tpu.ops.cplx import from_complex
+    from jsdr_tpu.ops.spectrum import spectrum_wide
+
+    rate, n_streams, t_len = 192_000, 32, 960_000       # 5 s per stream
+    cfg = BpskConfig(rate=rate, tuning=12_000.0)
+    rng = np.random.default_rng(3)
+    base = synth_bpsk_stream(
+        rng.integers(0, 256, (1, 256), dtype=np.uint8),
+        rate=rate, preamble_bits=400, noise_rms=0.3)
+    reps = int(np.ceil(n_streams * t_len / len(base)))
+    sig = np.tile(base, reps)[: n_streams * t_len].reshape(n_streams, t_len)
+    iq = jax.block_until_ready(jax.device_put(from_complex(sig)))
+    states = jax.block_until_ready(
+        jax.device_put(bpsk_init_batch(cfg, n_streams)))
+
+    @jax.jit
+    def step(iq, states):
+        spec = spectrum_wide(iq, rate // 10, rate=float(rate), window=True,
+                             natural=False)
+        out, new_states = bpsk_block_batch(iq, cfg, states)
+        forced = (spec.psd.sum() + out.windows.astype(jnp.int32).sum()
+                  + out.hit_corr.sum() + out.n_hits.sum() + out.n_bits.sum())
+        return forced, out.n_hits.sum(), new_states
+
+    res = jax.block_until_ready(step(iq, states))
+    iters, st = 10, states
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(iq, st)
+        st = out[2]
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    msps = n_streams * t_len / dt / 1e6
+    log(f"192 kS/s (FCD V2, decim=20) chain: {msps:.0f} MS/s/chip "
+        f"({dt*1000:.1f} ms/step, hits={int(res[1])}) "
+        f"-> {msps/0.192:.0f}x the reference V2 real-time rate")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -186,6 +233,7 @@ def main():
 
     bench_fec(log)
     bench_ingest(log)
+    bench_192k(log)
 
     print(json.dumps({
         "metric": "IQ Msamples/s/chip through FFT+FIR+BPSK chain",

@@ -196,11 +196,58 @@ def cmd_demod(args):
           f"(S16LE stereo @ {rate})")
 
 
+def cmd_telemetry_stream(args):
+    """Streaming telemetry: live pipe/capture ingest (or paced replay)
+    -> N batched demod instances -> decoded frames printed as they
+    arrive — the running application loop of the reference's FUNcube
+    tabs."""
+    from ..demod.bpsk import BpskConfig
+    from ..io.live import PacedSource, StreamSource
+    from ..io.sources import FileSource
+    from ..runtime.executor import Session, TelemetryStage
+
+    rate = args.rate
+    if _is_live(args.source):
+        src = StreamSource(args.source, rate=rate,
+                           i_corr=args.icorr, q_corr=args.qcorr)
+        chunks = iter(src)
+    else:
+        fsrc = FileSource(args.source.removeprefix("file:"), rate=rate,
+                          channels=2, i_corr=args.icorr, q_corr=args.qcorr)
+        rate = fsrc.rate
+        chunks = PacedSource(fsrc.blocks(rate // 10), rate)
+    tunings = [float(t) for t in str(args.tuning).split(",")]
+    cfg = BpskConfig(rate=rate, tuning=tunings[0],
+                     dofft=args.fft_tune, track_high=args.track_high)
+    frames = [0]
+
+    def on_frame(topic, v):
+        if topic != "telemetry-frame":
+            return
+        frames[0] += 1
+        print(f"demod{v['demod']}@{v['tuning']:.0f}Hz "
+              f"corr={v['corr']} ok={v['ok']} "
+              f"channel_errors={v['channel_errors']}")
+        payload = v["payload"]
+        for off in range(0, 256, 16):
+            row = " ".join(f"{b:02x}" for b in payload[off:off + 16])
+            print(f"  {off:3d}: {row}")
+
+    session = Session(source=chunks, block_samples=rate)
+    session.pubsub.listen(on_frame)
+    n = session.run([TelemetryStage(cfg, tunings)], max_blocks=args.blocks)
+    print(f"{n} blocks streamed, frames={frames[0]}, "
+          f"dropped={session.dropped_blocks or 'none'}")
+    return 0
+
+
 def cmd_telemetry(args):
     from ..demod.bpsk import (BpskConfig, bpsk_init_batch, bpsk_block_batch)
     from ..fec.decoder import fec_decode
     from ..ops.cplx import from_complex
 
+    if _is_live(args.source) or args.pace:
+        return cmd_telemetry_stream(args)
     iq, rate = _load_iq(args, args.rate)
     tunings = np.asarray([float(t) for t in str(args.tuning).split(",")])
     n_demods = len(tunings)
@@ -450,6 +497,10 @@ def main(argv=None):
     tl.add_argument("--checkpoint", help="save stream state pytree here")
     tl.add_argument("--resume", action="store_true",
                     help="resume stream state from --checkpoint")
+    tl.add_argument("--pace", action="store_true",
+                    help="replay a file source at real-time rate")
+    tl.add_argument("--blocks", type=int, default=None,
+                    help="stop streaming after N 1s blocks")
     tl.set_defaults(fn=cmd_telemetry)
 
     sy = sub.add_parser("synth", help="generate test fixtures")

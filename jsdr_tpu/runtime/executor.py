@@ -168,32 +168,52 @@ class SpectrumStage(Stage):
 
 
 class TelemetryStage(Stage):
-    """FUNcubeBPSKDemod + FECDecoder analog; publishes decoded frames."""
+    """FUNcubeBPSKDemod + FECDecoder analog; publishes decoded frames.
+
+    ``tunings``: optional list of per-instance NCO Hz — N demod tabs on
+    the same stream in one batched call (jsdr.java:479-484)."""
 
     name = "telemetry"
 
-    def __init__(self, cfg):
-        from ..demod.bpsk import bpsk_init
+    def __init__(self, cfg, tunings=None):
+        from ..demod.bpsk import bpsk_init_batch
         self.cfg = cfg
-        self.state = bpsk_init(cfg)
+        self.tunings = (None if tunings is None
+                        else [float(t) for t in tunings])
+        self.n = 1 if tunings is None else len(self.tunings)
+        self.state = bpsk_init_batch(cfg, self.n)
 
     def process(self, block, session: Session):
         import numpy as np
-        from ..demod.bpsk import bpsk_block
+        from ..demod.bpsk import bpsk_block_batch
         from ..fec.decoder import fec_decode
-        out, self.state = bpsk_block(block, self.cfg, self.state)
-        n_hits = int(out.n_hits)
-        session.pubsub.publish("bpsk-tune", self.cfg.tuning)
-        if n_hits:
-            res = fec_decode(out.windows[:n_hits])
+        from ..ops.cplx import CF
+        blocks = CF(jnp_broadcast(block.re, self.n),
+                    jnp_broadcast(block.im, self.n))
+        out, self.state = bpsk_block_batch(blocks, self.cfg, self.state,
+                                           self.tunings)
+        tunings = self.tunings or [self.cfg.tuning]
+        for s in range(self.n):
+            session.pubsub.publish(f"FUNcube{s}-bpsk-tune", tunings[s])
+            n_hits = int(out.n_hits[s])
+            if not n_hits:
+                continue
+            res = fec_decode(out.windows[s, :n_hits])
             for i in range(n_hits):
                 frame = {
+                    "demod": s,
+                    "tuning": tunings[s],
                     "ok": bool(res.ok[i]),
-                    "corr": int(out.hit_corr[i]),
+                    "corr": int(out.hit_corr[s, i]),
                     "channel_errors": int(res.rc[i]),
                     "payload": np.asarray(res.payload[i]),
                 }
                 session.pubsub.publish("telemetry-frame", frame)
+
+
+def jnp_broadcast(x, n: int):
+    import jax.numpy as jnp
+    return jnp.broadcast_to(x, (n, *x.shape))
 
 
 class DemodStage(Stage):

@@ -136,3 +136,24 @@ def test_cli_demod_live_pipe_to_sink(tmp_path):
     data = np.frombuffer(out.read_bytes(), dtype="<i2")
     assert len(data) == 2 * 96000          # stereo at the input rate
     assert data.std() > 0                  # carrier produced audio
+
+
+def test_cli_telemetry_live_pipe(tmp_path):
+    """Telemetry over a live pipe: BPSK frames piped in as S16LE IQ
+    decode as they stream (the running FUNcube-tab application loop)."""
+    payload = np.arange(256, dtype=np.uint8)[None]
+    sig = sources.synth_bpsk_stream(payload, rate=96000, preamble_bits=300)
+    sig = np.concatenate([sig, np.zeros((-len(sig)) % 96000, np.complex64)])
+    src = tmp_path / "telemetry.raw"
+    src.write_bytes(convert.complex_to_s16le(sig))
+    r = subprocess.run(
+        [sys.executable, "-m", "jsdr_tpu.app.main", "--cpu", "telemetry",
+         "pipe:" + str(src), "--tuning", "12000"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok=True channel_errors=0" in r.stdout, r.stdout
+    assert "frames=1" in r.stdout
+    # the hexdump shows the known payload
+    assert "  0: 00 01 02 03" in r.stdout.replace("   0:", "  0:")

@@ -227,3 +227,59 @@ def test_tp_spectrum_matches_spectrum_block():
     assert np.asarray(freq)[0] == 4410 and np.asarray(freq)[1] == -12345
     np.testing.assert_allclose(np.asarray(peak_db),
                                np.asarray(ref.peak_db), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (stages on separate device groups)
+# ---------------------------------------------------------------------------
+
+
+def test_pipelined_telemetry_matches_sequential(streams):
+    """2-stage pipeline (front end on rank 0, decode tail on rank 1,
+    GPipe microbatching over blocks) must reproduce the sequential chain
+    exactly, shifted by the one-block pipeline latency."""
+    from jsdr_tpu.parallel.pipeline import (make_pp_mesh, pipeline_flush,
+                                            pipeline_init,
+                                            pipelined_telemetry)
+    arr, payloads = streams
+    S, T = arr.shape
+    block = 96000
+    n_mb = T // block
+    blocks = arr.reshape(S, n_mb, block).swapaxes(0, 1)   # [n_mb, S, block]
+
+    mesh = make_pp_mesh()
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    run = pipelined_telemetry(mesh, rate=96000)
+    carry = pipeline_init(cfg, S, block)
+    out, carry = run(blocks, carry)
+    last, carry = pipeline_flush(run, carry, S, block)
+
+    st = bpsk_init_batch(cfg, S)
+    seq = []
+    for b in range(n_mb):
+        o, st = bpsk_block_batch(arr[:, b * block:(b + 1) * block], cfg, st)
+        seq.append(o)
+
+    assert np.all(np.asarray(out.n_hits)[0] == 0)      # prime tick empty
+    pipe = [jax.tree.map(lambda x: np.asarray(x[t]), out)
+            for t in range(1, n_mb)] + [jax.tree.map(np.asarray, last)]
+    for got, ref in zip(pipe, seq):
+        assert np.array_equal(got.n_bits, np.asarray(ref.n_bits))
+        assert np.array_equal(got.n_hits, np.asarray(ref.n_hits))
+        assert np.array_equal(got.windows, np.asarray(ref.windows))
+        assert np.array_equal(got.hit_corr, np.asarray(ref.hit_corr))
+
+    # rank 1's carried decode state has consumed every block
+    final_st = jax.tree.map(lambda x: np.asarray(x[1]), carry[1])
+    assert np.array_equal(final_st.counters, np.asarray(st.counters))
+    assert np.array_equal(final_st.ring, np.asarray(st.ring))
+
+    # and the extracted frames decode to the known payloads
+    total_hits = sum(int(h) for o in pipe for h in o.n_hits)
+    assert total_hits == 2
+    for s_i in range(2):
+        wins = [o.windows[s_i, :o.n_hits[s_i]] for o in pipe
+                if o.n_hits[s_i]]
+        res = fec_decode(jnp.asarray(wins[0]))
+        assert bool(res.ok[0])
+        assert np.array_equal(np.asarray(res.payload[0]), payloads[s_i])
