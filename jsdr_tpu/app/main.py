@@ -126,7 +126,18 @@ def _demod_cfg(args, rate):
 
 
 def _is_live(name: str) -> bool:
-    return name.startswith(("pipe:", "capture:")) or name == "-"
+    return name.startswith(("pipe:", "capture:")) or name in ("-", "fcd")
+
+
+def _live_spec(name: str, rate: int) -> str:
+    """Resolve 'fcd' to the dongle's capture device (FCD.java:235-259)."""
+    if name == "fcd":
+        from ..io.fcd import FCD
+        spec = FCD().capture_source(rate)
+        if spec is None:
+            raise SystemExit("no FUNcube Dongle capture device found")
+        return spec
+    return name
 
 
 def cmd_demod_stream(args):
@@ -140,7 +151,7 @@ def cmd_demod_stream(args):
 
     rate = args.rate
     if _is_live(args.source):
-        src = StreamSource(args.source, rate=rate,
+        src = StreamSource(_live_spec(args.source, rate), rate=rate,
                            i_corr=args.icorr, q_corr=args.qcorr)
         chunks = iter(src)
     else:
@@ -208,7 +219,7 @@ def cmd_telemetry_stream(args):
 
     rate = args.rate
     if _is_live(args.source):
-        src = StreamSource(args.source, rate=rate,
+        src = StreamSource(_live_spec(args.source, rate), rate=rate,
                            i_corr=args.icorr, q_corr=args.qcorr)
         chunks = iter(src)
     else:

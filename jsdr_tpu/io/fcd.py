@@ -73,3 +73,22 @@ class FCD:
 
     def reset(self) -> bool:
         return self._run("-r") is not None
+
+    def capture_source(self, rate: Optional[int] = None,
+                       cards_path: str = "/proc/asound/cards"
+                       ) -> Optional[str]:
+        """A live-source spec for the dongle's audio capture device —
+        the analog of FCD.getLine() locating the "FUNcube Dongle" mixer
+        for direct capture (FCD.java:235-259). Scans ALSA card names and
+        returns a ``capture:arecord ...`` spec consumable by
+        io.live.StreamSource / the CLI, or None when absent."""
+        try:
+            cards = open(cards_path).read()
+        except OSError:
+            return None
+        m = re.search(r"^\s*(\d+)\s.*FUNcube", cards, re.MULTILINE)
+        if not m:
+            return None
+        rate = rate or self.default_rate()
+        return (f"capture:arecord -D hw:{m.group(1)},0 -f S16_LE "
+                f"-r {rate} -c 2 -t raw")

@@ -292,3 +292,19 @@ def test_spectrum_overlays_and_waterfall_peak_color(tmp_path, rng):
     inten = int(np.clip(255 - (-50.0) * -2.55, 0, 255))   # 127
     assert tuple(img2[0, 0]) == (0, 255 * inten // 256, 255 * inten // 256)
     assert tuple(img2[1, 0]) == (0, 0, 0)         # scrolled rows empty
+
+
+def test_fcd_capture_source(tmp_path):
+    """FCD.capture_source finds the dongle's ALSA card and builds a
+    live capture spec (FCD.getLine analog, FCD.java:235-259)."""
+    cards = tmp_path / "cards"
+    cards.write_text(
+        " 0 [PCH    ]: HDA-Intel - HDA Intel PCH\n"
+        " 2 [V20    ]: USB-Audio - FUNcube Dongle V2.0\n")
+    fcd = FCD(binary=None)
+    spec = fcd.capture_source(rate=96000, cards_path=str(cards))
+    assert spec == ("capture:arecord -D hw:2,0 -f S16_LE -r 96000 "
+                    "-c 2 -t raw")
+    cards.write_text(" 0 [PCH    ]: HDA-Intel - HDA Intel PCH\n")
+    assert fcd.capture_source(cards_path=str(cards)) is None
+    assert fcd.capture_source(cards_path=str(tmp_path / "nope")) is None
