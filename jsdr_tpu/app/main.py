@@ -436,6 +436,13 @@ def cmd_fcd(args):
     return 0
 
 
+def cmd_ui(args):
+    """Interactive terminal shell (jsdr.java Swing UI analog): tabs over
+    a live waterfall, driven by the reference's accelerator map."""
+    from .tui import run_tui
+    return run_tui(args)
+
+
 def cmd_record(args):
     from ..io.recorder import RawRecorder
     iq, rate = _load_iq(args, args.rate)
@@ -561,6 +568,16 @@ def main(argv=None):
     rc.add_argument("source")
     rc.add_argument("--out", default="capture.raw")
     rc.set_defaults(fn=cmd_record)
+
+    ui = sub.add_parser("ui", help="interactive terminal UI: tabs + "
+                        "waterfall + the reference's hotkey map "
+                        "(jsdr.java shell + accelerator-map.txt analog)")
+    ui.add_argument("source", nargs="?", default=None,
+                    help="file:<path>, pipe:<path>, capture:<cmd>, or fcd; "
+                    "omit to open one later with Ctrl-O/Ctrl-D")
+    ui.add_argument("--no-pace", action="store_true",
+                    help="replay files at full speed instead of real-time")
+    ui.set_defaults(fn=cmd_ui)
 
     args = p.parse_args(argv)
     _apply_config(args)

@@ -193,6 +193,12 @@ class TelemetryStage(Stage):
         out, self.state = bpsk_block_batch(blocks, self.cfg, self.state,
                                            self.tunings)
         tunings = self.tunings or [self.cfg.tuning]
+        # live raw/ds/bit/sync counters, the reference's on-screen
+        # instrumentation (FUNcubeBPSKDemod.java:219-228)
+        c = np.asarray(self.state.counters)
+        session.pubsub.publish(
+            "telemetry-counters",
+            {s: tuple(int(v) for v in c[s]) for s in range(self.n)})
         for s in range(self.n):
             session.pubsub.publish(f"FUNcube{s}-bpsk-tune", tunings[s])
             n_hits = int(out.n_hits[s])
