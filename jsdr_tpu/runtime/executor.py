@@ -279,7 +279,9 @@ class RecorderStage(Stage):
 
     def process(self, block, session: Session):
         if self.enabled:
-            self.rec.write_iq(np.asarray(block))
+            iq = (np.asarray(block.re) + 1j * np.asarray(block.im)
+                  ).astype(np.complex64)
+            self.rec.write_iq(iq)
 
     def close(self):
         self.rec.close()

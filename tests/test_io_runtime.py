@@ -308,3 +308,24 @@ def test_fcd_capture_source(tmp_path):
     cards.write_text(" 0 [PCH    ]: HDA-Intel - HDA Intel PCH\n")
     assert fcd.capture_source(cards_path=str(cards)) is None
     assert fcd.capture_source(cards_path=str(tmp_path / "nope")) is None
+
+
+def test_recorder_stage_roundtrip(tmp_path):
+    """RecorderStage must write replayable S16LE IQ: a recorded session
+    re-opened as a FileSource yields the same samples (recorder.java's
+    fixture-producing role)."""
+    from jsdr_tpu.io.sources import FileSource, synth_sine
+    from jsdr_tpu.runtime.executor import RecorderStage, Session
+
+    iq = synth_sine(4800, 1000.0, 9600.0, amplitude=0.5)
+    path = tmp_path / "cap.raw"
+    stage = RecorderStage(path)
+    session = Session(source=iter([iq]), block_samples=960)
+    n = session.run([stage])
+    stage.close()
+    assert n == 5
+    back = FileSource(path, rate=9600).all()
+    assert len(back) == 4800
+    # S16 quantization bound: 1/32767 per component
+    np.testing.assert_allclose(back.real, iq[:4800].real, atol=1.01 / 32767)
+    np.testing.assert_allclose(back.imag, iq[:4800].imag, atol=1.01 / 32767)
