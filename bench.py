@@ -125,7 +125,10 @@ def bench_192k(log):
     from jsdr_tpu.ops.cplx import from_complex
     from jsdr_tpu.ops.spectrum import spectrum_wide
 
-    rate, n_streams, t_len = 192_000, 32, 960_000       # 5 s per stream
+    # 64 streams x 10 s: the bpsk chain's scan stages need >=64 streams
+    # to fill the VPU sublanes — 32x5s measured 1117 MS/s on the chain
+    # alone vs 10099 MS/s at 64x10s (same per-sample work)
+    rate, n_streams, t_len = 192_000, 64, 1_920_000     # 10 s per stream
     cfg = BpskConfig(rate=rate, tuning=12_000.0)
     rng = np.random.default_rng(3)
     base = synth_bpsk_stream(
