@@ -160,13 +160,15 @@ def _make_spec_dot(precision: str):
     return dot
 
 
-def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, twr, twi, w2r, w2i,
+def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
+                           twr, twi, w2r, w2i, w2s1, w2s2,
                            psd_ref, *, n1: int, n2: int,
                            precision: str = "highest"):
     import jax.lax as lax
 
     n = n1 * n2
     dot = _make_spec_dot(precision)
+    karatsuba = precision == "bf16x3"
     cf = np.float32((2.0 / n) ** 2)
     # lane -> (sublane, lane) split at the 128 boundary is a supported
     # Mosaic relayout; transpose+flatten back to natural frequency order
@@ -174,19 +176,34 @@ def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, twr, twi, w2r, w2i,
     # callers recover natural indices as n1*k2 + k1.
     a3r = (x_re[...] * win[...]).reshape(_SPEC_ROWS, n1, n2)
     a3i = (x_im[...] * win[...]).reshape(_SPEC_ROWS, n1, n2)
+    dn = (((1,), (1,)), ((), ()))
     for r in range(_SPEC_ROWS):
         ar = a3r[r]
         ai = a3i[r]
-        # stage 1: B = W1 @ A   [n1, n1] @ [n1, n2]
-        br = dot(w1r[...], ar) - dot(w1i[...], ai)
-        bi = dot(w1r[...], ai) + dot(w1i[...], ar)
+        if karatsuba:
+            # complex matmul with THREE real products (host-precomputed
+            # W sums): re = T0 - (Wr+Wi)@Ai, im = T0 + (Wi-Wr)@Ar with
+            # T0 = Wr@(Ar+Ai) — 25% fewer MXU passes than the 4-product
+            # form; cancellation error stays under the display budget
+            # (measured, see spectrum_fused docstring)
+            t0 = dot(w1r[...], ar + ai)
+            br = t0 - dot(w1s1[...], ai)
+            bi = t0 + dot(w1s2[...], ar)
+        else:
+            # stage 1: B = W1 @ A   [n1, n1] @ [n1, n2]
+            br = dot(w1r[...], ar) - dot(w1i[...], ai)
+            bi = dot(w1r[...], ai) + dot(w1i[...], ar)
         # twiddle [k1, n2]
         cr = br * twr[...] - bi * twi[...]
         ci = br * twi[...] + bi * twr[...]
         # stage 2: D[k1, k2] = sum_n2 C[k1, n2] W2[k2, n2]
-        dn = (((1,), (1,)), ((), ()))
-        dr = dot(cr, w2r[...], dn) - dot(ci, w2i[...], dn)
-        di = dot(cr, w2i[...], dn) + dot(ci, w2r[...], dn)
+        if karatsuba:
+            t0 = dot(cr + ci, w2r[...], dn)
+            dr = t0 - dot(ci, w2s1[...], dn)
+            di = t0 + dot(cr, w2s2[...], dn)
+        else:
+            dr = dot(cr, w2r[...], dn) - dot(ci, w2i[...], dn)
+            di = dot(cr, w2i[...], dn) + dot(ci, w2r[...], dn)
         power = (dr * dr + di * di) * cf
         psd_ref[0, r] = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
 
@@ -207,6 +224,11 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
     w1r, w1i = _dft_mats(n1, -1.0)
     twr, twi = _twiddles(n1, n2, -1.0)
     w2r, w2i = _dft_mats(n2, -1.0)
+    # host-precomputed Karatsuba weight sums (exact f32 of the f64 sums)
+    w1s1 = (w1r.astype(np.float64) + w1i.astype(np.float64)).astype(np.float32)
+    w1s2 = (w1i.astype(np.float64) - w1r.astype(np.float64)).astype(np.float32)
+    w2s1 = (w2r.astype(np.float64) + w2i.astype(np.float64)).astype(np.float32)
+    w2s2 = (w2i.astype(np.float64) - w2r.astype(np.float64)).astype(np.float32)
     win = (hamming_np(n) if window else np.ones(n)).astype(np.float32)
 
     rows = _SPEC_ROWS
@@ -221,7 +243,8 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
     const = lambda z: pl.BlockSpec(z.shape, lambda i, j: (0,) * z.ndim,
                                    memory_space=pltpu.VMEM)
     consts = [jnp.asarray(win[None, :])] + [
-        jnp.asarray(z) for z in (w1r, w1i, twr, twi, w2r, w2i)]
+        jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
+                                 w2r, w2i, w2s1, w2s2)]
     kernel = functools.partial(_spectrum_fused_kernel, n1=n1, n2=n2,
                                precision=precision)
     psd = pl.pallas_call(
@@ -310,7 +333,8 @@ def _dec_tapmat(taps: np.ndarray, m: int, gain: float) -> np.ndarray:
 
 def _mix_decimate_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
                          tap_ref, or_ref, oi_ref, tlr_ref, tli_ref,
-                         hr_ref, hi_ref, *, m: int, t_len: int, nb: int):
+                         hr_ref, hi_ref, *, m: int, t_len: int, nb: int,
+                         precision: str = "highest"):
     import jax.lax as lax
     from jax.experimental import pallas as pl
 
@@ -340,8 +364,11 @@ def _mix_decimate_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
     parts = [wr[:, 128 * m * k: 128 * m * k + span] for k in range(k_tiles)]
     parts += [wi[:, 128 * m * k: 128 * m * k + span] for k in range(k_tiles)]
     wall = jnp.concatenate(parts, axis=0)           # [2K*8, span]
-    y = jnp.dot(wall, tap_ref[...], precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # [2K*8, 128]
+    # real taps x complex data is already the minimal 1-matmul form (both
+    # planes stacked); bf16x3 (see _bf16x3_dot) halves the MXU passes vs
+    # Mosaic's six-pass HIGHEST f32 emulation at O(2^-32) relative error
+    dot = _make_spec_dot(precision)
+    y = dot(wall, tap_ref[...])                     # [2K*8, 128]
     y4 = y.reshape(2, k_tiles, _MD_ROWS, 128)
     or_ref[...] = jnp.moveaxis(y4[0], 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
     oi_ref[...] = jnp.moveaxis(y4[1], 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
@@ -375,9 +402,9 @@ def _mix_decimate_ref(iq: CF, cos_pat, sin_pat, taps, m: int,
 
 
 @functools.partial(jax.jit, static_argnames=("m", "gain", "use_pallas",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def _mix_decimate_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
-                      m, gain, use_pallas, interpret):
+                      m, gain, use_pallas, interpret, precision):
     if not use_pallas and not interpret:
         y, new_tail = _mix_decimate_ref(
             CF(xr, xi), cos_pat, sin_pat, taps, m, CF(tail_r, tail_i), gain)
@@ -407,7 +434,8 @@ def _mix_decimate_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
     t0r = jnp.pad(tail_r, ((0, 0), (128 - (ntaps - 1), 0)))
     t0i = jnp.pad(tail_i, ((0, 0), (128 - (ntaps - 1), 0)))
 
-    kernel = functools.partial(_mix_decimate_kernel, m=m, t_len=t, nb=nb)
+    kernel = functools.partial(_mix_decimate_kernel, m=m, t_len=t, nb=nb,
+                               precision=precision)
     yr, yi, tlr, tli = pl.pallas_call(
         kernel,
         grid=(sp // rows, nb),
@@ -455,7 +483,7 @@ def _mix_decimate_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
 
 def mix_decimate(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,
                  gain: float = 1.0, use_pallas: bool | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, precision: str = "bf16x3"):
     """Fused NCO mix + decimate-by-m FIR over [S, T] stream rows.
 
     ``cos_pat``/``sin_pat``: [S, 128] per-stream mix tables, valid when
@@ -464,6 +492,11 @@ def mix_decimate(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,
     ntaps-1] carried MIXED-domain history (same state as
     ``ops.fir.polyphase_decimate``). T need not be chunk-aligned; it must
     be a multiple of m. Returns (ds CF [S, T//m], new_tail CF).
+
+    ``precision``: "bf16x3" (default — three bf16 MXU passes for the
+    banded FIR matmul, O(2^-32) relative error, well inside the decode
+    chain's energy gates) or "highest" (six-pass XLA-exact f32) for
+    strict numeric comparisons.
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
@@ -473,5 +506,5 @@ def mix_decimate(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,
     tapmat = jnp.asarray(_dec_tapmat(taps_np, m, float(gain)))
     yr, yi, tr, ti = _mix_decimate_jit(
         iq.re, iq.im, cos_pat, sin_pat, jnp.asarray(taps_np), tapmat,
-        tail.re, tail.im, m, float(gain), use_pallas, interpret)
+        tail.re, tail.im, m, float(gain), use_pallas, interpret, precision)
     return CF(yr, yi), CF(tr, ti)

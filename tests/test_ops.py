@@ -174,7 +174,8 @@ def test_mix_decimate_fused_matches_reference(rng):
                   jnp.asarray(rng.normal(size=(s, nt - 1)).astype(np.float32)))
         ref, rt = _mix_decimate_ref(x, cos_pat, sin_pat, taps, m, tail, 3.0)
         got, gt = mix_decimate(x, cos_pat, sin_pat, taps, m, tail, 3.0,
-                               use_pallas=True, interpret=True)
+                               use_pallas=True, interpret=True,
+                               precision="highest")
         np.testing.assert_allclose(np.asarray(got.re), np.asarray(ref.re),
                                    rtol=2e-5, atol=1e-4)
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
@@ -182,6 +183,17 @@ def test_mix_decimate_fused_matches_reference(rng):
         np.testing.assert_allclose(np.asarray(gt.re), np.asarray(rt.re),
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(gt.im), np.asarray(rt.im),
+                                   atol=1e-5)
+        # default bf16x3 FIR matmul: bounded hi/lo-split error only
+        got3, gt3 = mix_decimate(x, cos_pat, sin_pat, taps, m, tail, 3.0,
+                                 use_pallas=True, interpret=True)
+        scale = float(np.abs(np.asarray(ref.re)).max())
+        np.testing.assert_allclose(np.asarray(got3.re), np.asarray(ref.re),
+                                   rtol=0, atol=5e-4 * scale)
+        np.testing.assert_allclose(np.asarray(got3.im), np.asarray(ref.im),
+                                   rtol=0, atol=5e-4 * scale)
+        # the carried tail is copied, not matmul'd: stays exact-ish
+        np.testing.assert_allclose(np.asarray(gt3.re), np.asarray(rt.re),
                                    atol=1e-5)
 
 
