@@ -162,7 +162,7 @@ def _make_spec_dot(precision: str):
 
 def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
                            twr, twi, w2r, w2i, w2s1, w2s2,
-                           psd_ref, *, n1: int, n2: int,
+                           psd_ref, mx_ref, idx_ref, *, n1: int, n2: int,
                            precision: str = "highest"):
     import jax.lax as lax
 
@@ -205,7 +205,22 @@ def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
             dr = dot(cr, w2r[...], dn) - dot(ci, w2i[...], dn)
             di = dot(cr, w2i[...], dn) + dot(ci, w2r[...], dn)
         power = (dr * dr + di * di) * cf
-        psd_ref[0, r] = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
+        db = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
+        psd_ref[0, r] = db
+        # fused peak search: the PSD never needs a second HBM pass.
+        # flat permuted index k1*n2 + k2 with jnp.argmax's exact
+        # first-occurrence tie-break: per-column first argmax, then the
+        # minimum flat index among columns that reach the global max
+        col_max = jnp.max(db, axis=0)                        # [n2]
+        col_arg = jnp.argmax(db, axis=0).astype(jnp.int32)   # first k1
+        mx = jnp.max(col_max)
+        lane = lax.broadcasted_iota(jnp.int32, (1, n2), 1)[0]
+        cand = jnp.where(col_max == mx, col_arg * n2 + lane,
+                         jnp.int32(n1 * n2))
+        # scalar results broadcast across a 128-lane output row (Mosaic
+        # requires 128-divisible output lanes); callers read lane 0
+        mx_ref[0, r] = jnp.full((128,), mx, jnp.float32)
+        idx_ref[0, r] = jnp.full((128,), jnp.min(cand), jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -247,7 +262,7 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
                                  w2r, w2i, w2s1, w2s2)]
     kernel = functools.partial(_spectrum_fused_kernel, n1=n1, n2=n2,
                                precision=precision)
-    psd = pl.pallas_call(
+    psd, mx, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -256,18 +271,30 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
             pl.BlockSpec((rows, n), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ] + [const(z) for z in consts],
-        out_specs=pl.BlockSpec((1, rows, n1, n2), lambda i, j: (j, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblk, sp, n1, n2), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, rows, n1, n2), lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, sp, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, sp, 128), jnp.int32),
+        ],
         interpret=interpret,
     )(re, im, *consts)
-    return psd[:, :s]   # [nblk, S, k1, k2] permuted order
+    # [nblk, S, k1, k2] permuted order + per-block peak (db, flat index)
+    return psd[:, :s], mx[:, :s, 0], idx[:, :s, 0]
 
 
 def spectrum_fused(iq, n: int, window: bool = True,
                    interpret: bool = False,
-                   precision: str = "bf16x3") -> jnp.ndarray:
-    """Fused window+FFT+PSD over contiguous time rows.
+                   precision: str = "bf16x3",
+                   with_peaks: bool = False):
+    """Fused window+FFT+PSD (+ peak search) over contiguous time rows.
 
     iq: CF (or complex) [S, T] with T % n == 0 and n % 128 == 0.
     Returns dB PSD as [T//n, S, n1, 128] in PERMUTED frequency order:
@@ -277,16 +304,23 @@ def spectrum_fused(iq, n: int, window: bool = True,
     index arithmetic to recover natural bins — peak search and display
     decimation work directly on the permuted layout.
 
-    ``precision``: "bf16x3" (default — three bf16 MXU passes, <=0.13 dB
-    PSD deviation, 27% faster) or "highest" (six passes, XLA-exact f32)
-    for strict numeric comparisons.
+    ``with_peaks=True`` additionally returns (peak_db [T//n, S],
+    flat permuted argmax [T//n, S] int32) computed INSIDE the kernel
+    while the PSD is still in VMEM — identical values and tie-break to
+    ``jnp.argmax`` over the flattened PSD, without a second HBM pass
+    over the full-resolution spectrum.
+
+    ``precision``: "bf16x3" (default — three bf16 Karatsuba MXU passes,
+    <=0.04 dB PSD deviation) or "highest" (six-pass XLA-exact f32
+    4-product form) for strict numeric comparisons.
     """
     iq = as_cf(iq)
     s, t = iq.shape
     assert t % n == 0 and n % 128 == 0 and n // 128 <= 512
-    return _spectrum_fused_jit(iq.re.astype(jnp.float32),
-                               iq.im.astype(jnp.float32),
-                               n, window, interpret, precision)
+    psd, mx, idx = _spectrum_fused_jit(iq.re.astype(jnp.float32),
+                                       iq.im.astype(jnp.float32),
+                                       n, window, interpret, precision)
+    return (psd, mx, idx) if with_peaks else psd
 
 
 def spectrum_natural_order(psd_perm: jnp.ndarray) -> jnp.ndarray:

@@ -105,11 +105,10 @@ def spectrum_wide(iq, n: int, rate: float, window: bool = True,
     if n % 128 != 0 or n // 128 > 512:
         return spectrum_block(iq.reshape(s, t // n, n), rate=rate,
                               window=window)
-    psd_perm = spectrum_fused(iq, n, window=window, interpret=interpret)
+    psd_perm, peak_db, p = spectrum_fused(iq, n, window=window,
+                                          interpret=interpret,
+                                          with_peaks=True)
     nblk, _, n1, n2 = psd_perm.shape
-    flat = psd_perm.reshape(nblk, s, n1 * n2)
-    p = jnp.argmax(flat, axis=-1)
-    peak_db = jnp.take_along_axis(flat, p[..., None], axis=-1)[..., 0]
     k_nat = n1 * (p % n2) + p // n2
     signed = jnp.where(k_nat < n // 2, k_nat, k_nat - n)
     peak_freq = bin_to_hz(signed, int(rate), n).astype(jnp.int32)
