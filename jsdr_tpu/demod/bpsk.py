@@ -644,7 +644,8 @@ def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
     timing recovery -> bit compaction -> sync search. ds: [T//m]."""
     bb, vco_idx = _vco_mix(ds, state.vco_idx)
     mf, mf_tail = fir_apply_streaming(
-        bb, jnp.asarray(DM_FILTER.astype(np.float32)), state.mf_tail)
+        bb, jnp.asarray(DM_FILTER.astype(np.float32)), state.mf_tail,
+        precision="bf16x3")
     if compat_scan:
         valid, bit, di, e2, timing = _timing_scan(mf, state.timing)
     else:

@@ -89,11 +89,16 @@ def _banded_matmul_fir(z: jnp.ndarray, taps: jnp.ndarray, m: int,
         cols = min(span, width - b * span)
         parts.append(rows[..., b:b + nb, :cols])
     zcat = jnp.concatenate(parts, axis=-1)   # [.., nb, span+ext]
-    y = jnp.matmul(zcat, tapmat, precision=precision)
+    if precision == "bf16x3":
+        from .pallas_kernels import _bf16x3_dot
+        y = _bf16x3_dot(zcat, tapmat)
+    else:
+        y = jnp.matmul(zcat, tapmat, precision=precision)
     return y.reshape(*lead, nb * block)[..., :n_out]
 
 
-def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray,
+                precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """Causal FIR y[t] = sum_a x[t-a] * taps[a] over the valid region.
 
     x: [..., T]; returns [..., T - ntaps + 1] (y[0] corresponds to input
@@ -102,7 +107,7 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     """
     ntaps = taps.shape[0]
     t_out = x.shape[-1] - ntaps + 1
-    return _banded_matmul_fir(x, taps, 1, t_out)
+    return _banded_matmul_fir(x, taps, 1, t_out, precision=precision)
 
 
 def fir_apply(x, taps: jnp.ndarray):
@@ -119,22 +124,25 @@ def fir_apply(x, taps: jnp.ndarray):
     return _conv_valid(xp, taps)
 
 
-def fir_apply_streaming(x, taps: jnp.ndarray, tail):
+def fir_apply_streaming(x, taps: jnp.ndarray, tail,
+                        precision=lax.Precision.HIGHEST):
     """FIR over a block with carried history.
 
     tail: [..., ntaps-1] previous samples (state). Returns (y, new_tail)
     with y the same length as x — identical to running the reference's
     per-sample delay-buffer loop across block boundaries. Accepts CF
-    pairs (tail then also a CF).
+    pairs (tail then also a CF). ``precision="bf16x3"`` runs the tap
+    matmul as three bf16 MXU passes (O(2^-32) relative error — see
+    pallas_kernels._bf16x3_dot) instead of six-pass HIGHEST emulation.
     """
     if isinstance(x, CF):
-        yr, tr = fir_apply_streaming(x.re, taps, tail.re)
-        yi, ti = fir_apply_streaming(x.im, taps, tail.im)
+        yr, tr = fir_apply_streaming(x.re, taps, tail.re, precision)
+        yi, ti = fir_apply_streaming(x.im, taps, tail.im, precision)
         return CF(yr, yi), CF(tr, ti)
     xp = jnp.concatenate([tail, x], axis=-1)
-    y = _conv_valid(xp.real, taps)
+    y = _conv_valid(xp.real, taps, precision)
     if jnp.iscomplexobj(x):
-        y = (y + 1j * _conv_valid(xp.imag, taps)).astype(x.dtype)
+        y = (y + 1j * _conv_valid(xp.imag, taps, precision)).astype(x.dtype)
     new_tail = xp[..., x.shape[-1]:]
     return y, new_tail
 
