@@ -643,9 +643,11 @@ def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
     """Per-stream decimated-domain chain: VCO mix -> matched filter ->
     timing recovery -> bit compaction -> sync search. ds: [T//m]."""
     bb, vco_idx = _vco_mix(ds, state.vco_idx)
+    # compat mode keeps the XLA-exact HIGHEST matched filter (it exists
+    # for strict parity work); the fast path uses the 3-pass bf16 split
     mf, mf_tail = fir_apply_streaming(
         bb, jnp.asarray(DM_FILTER.astype(np.float32)), state.mf_tail,
-        precision="bf16x3")
+        precision="highest" if compat_scan else "bf16x3")
     if compat_scan:
         valid, bit, di, e2, timing = _timing_scan(mf, state.timing)
     else:
@@ -706,12 +708,14 @@ def _bpsk_block_batched(iq, states: BpskState, tunings, *, rate: int,
         ones = jnp.ones((s, 128), jnp.float32)
         ds, ds_tail = mix_decimate(
             mixed, ones, ones, taps, m, states.ds_tail,
-            gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas)
+            gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas,
+            precision="highest" if compat_scan else "bf16x3")
     elif mix_mode == "pattern":
         cos_pat, sin_pat = _nco_pattern(states.tu_phase, tunings, rate)
         ds, ds_tail = mix_decimate(
             iq, cos_pat, sin_pat, taps, m, states.ds_tail,
-            gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas)
+            gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas,
+            precision="highest" if compat_scan else "bf16x3")
         tu_phase = _nco_advance(states.tu_phase, tunings, rate, t_len)
         ft_state = states.fft_tuner
     elif mix_mode == "general":
