@@ -56,11 +56,24 @@ def _apply_config(args):
         tunings = [c.get_int(f"FUNcube{i}-bpsk-tuning", 12000)
                    for i in range(n)]
         args.tuning = ",".join(str(t) for t in tunings)
-        if c.get_int("FUNcube0-bpsk-dofft", 0):
-            args.fft_tune = True
-        if c.get_int("FUNcube0-bpsk-upper", 0):
-            args.track_high = True
+        # per-instance dofft/upper (FUNcube<n>-bpsk-*, jsdr.java:479-484):
+        # a mixed set still runs as ONE batched call
+        if not args.fft_tune:
+            args.fft_tune_list = [
+                c.get_int(f"FUNcube{i}-bpsk-dofft", 0) != 0 for i in range(n)]
+        if not args.track_high:
+            args.track_high_list = [
+                c.get_int(f"FUNcube{i}-bpsk-upper", 0) != 0 for i in range(n)]
     return args
+
+
+def _telem_flags(args, n: int):
+    """Per-instance (dofft, track_high) lists for N demod instances."""
+    dofft = getattr(args, "fft_tune_list", None) or [args.fft_tune] * n
+    th = getattr(args, "track_high_list", None) or [args.track_high] * n
+    assert len(dofft) == n and len(th) == n, (
+        "per-instance dofft/upper lists must match the tuning count")
+    return dofft, th
 
 
 def _load_iq(args, rate):
@@ -150,18 +163,23 @@ def cmd_demod_stream(args):
     from ..runtime.executor import AudioSinkStage, DemodStage, Session
 
     rate = args.rate
+    dev_conv = getattr(args, "device_convert", False)
     if _is_live(args.source):
         src = StreamSource(_live_spec(args.source, rate), rate=rate,
-                           i_corr=args.icorr, q_corr=args.qcorr)
+                           i_corr=args.icorr, q_corr=args.qcorr,
+                           raw=dev_conv)
         chunks = iter(src)
     else:
         fsrc = FileSource(args.source.removeprefix("file:"), rate=rate,
                           channels=2, i_corr=args.icorr, q_corr=args.qcorr,
                           loop=args.loop)
         rate = fsrc.rate
-        chunks = PacedSource(fsrc.blocks(rate // 10), rate)
+        blocks = (fsrc.raw_blocks(rate // 10) if dev_conv
+                  else fsrc.blocks(rate // 10))
+        chunks = PacedSource(blocks, rate)
     sink = AudioSink(args.audio_out or args.out)
-    session = Session(source=chunks, block_samples=rate // 10)
+    session = Session(source=chunks, block_samples=rate // 10,
+                      i_corr=args.icorr, q_corr=args.qcorr)
     stages = [DemodStage(_demod_cfg(args, rate)), AudioSinkStage(sink)]
     try:
         n = session.run(stages, max_blocks=args.blocks)
@@ -218,18 +236,22 @@ def cmd_telemetry_stream(args):
     from ..runtime.executor import Session, TelemetryStage
 
     rate = args.rate
+    dev_conv = getattr(args, "device_convert", False)
     if _is_live(args.source):
         src = StreamSource(_live_spec(args.source, rate), rate=rate,
-                           i_corr=args.icorr, q_corr=args.qcorr)
+                           i_corr=args.icorr, q_corr=args.qcorr,
+                           raw=dev_conv)
         chunks = iter(src)
     else:
         fsrc = FileSource(args.source.removeprefix("file:"), rate=rate,
                           channels=2, i_corr=args.icorr, q_corr=args.qcorr)
         rate = fsrc.rate
-        chunks = PacedSource(fsrc.blocks(rate // 10), rate)
+        blocks = (fsrc.raw_blocks(rate // 10) if dev_conv
+                  else fsrc.blocks(rate // 10))
+        chunks = PacedSource(blocks, rate)
     tunings = [float(t) for t in str(args.tuning).split(",")]
-    cfg = BpskConfig(rate=rate, tuning=tunings[0],
-                     dofft=args.fft_tune, track_high=args.track_high)
+    dofft, track_high = _telem_flags(args, len(tunings))
+    cfg = BpskConfig(rate=rate, tuning=tunings[0])
     frames = [0]
 
     def on_frame(topic, v):
@@ -244,9 +266,11 @@ def cmd_telemetry_stream(args):
             row = " ".join(f"{b:02x}" for b in payload[off:off + 16])
             print(f"  {off:3d}: {row}")
 
-    session = Session(source=chunks, block_samples=rate)
+    session = Session(source=chunks, block_samples=rate,
+                      i_corr=args.icorr, q_corr=args.qcorr)
     session.pubsub.listen(on_frame)
-    n = session.run([TelemetryStage(cfg, tunings)], max_blocks=args.blocks)
+    stage = TelemetryStage(cfg, tunings, dofft=dofft, track_high=track_high)
+    n = session.run([stage], max_blocks=args.blocks)
     print(f"{n} blocks streamed, frames={frames[0]}, "
           f"dropped={session.dropped_blocks or 'none'}")
     return 0
@@ -263,12 +287,13 @@ def cmd_telemetry(args):
     tunings = np.asarray([float(t) for t in str(args.tuning).split(",")])
     n_demods = len(tunings)
     # N demodulator instances on the same stream, each with its own
-    # tuning, decoded in ONE batched call per block — the analog of the
-    # jsdr-funcube-demods tabs (jsdr.java:479-484,
-    # FUNcubeBPSKDemod.java:195-196); tunings are traced data, so this
-    # compiles once regardless of N or the tuning values.
-    cfg = BpskConfig(rate=rate, tuning=float(tunings[0]),
-                     dofft=args.fft_tune, track_high=args.track_high)
+    # tuning AND its own dofft/upper flags, decoded in ONE batched call
+    # per block — the analog of the jsdr-funcube-demods tabs
+    # (jsdr.java:479-484, FUNcubeBPSKDemod.java:97-99, 195-196); tunings
+    # and flags are traced data, so this compiles once regardless of N
+    # or the values.
+    dofft, track_high = _telem_flags(args, n_demods)
+    cfg = BpskConfig(rate=rate, tuning=float(tunings[0]))
     st = bpsk_init_batch(cfg, n_demods)
     if args.resume and args.checkpoint:
         from pathlib import Path
@@ -283,7 +308,8 @@ def cmd_telemetry(args):
     frames = 0
     for b in range(len(iq) // block):
         out, st = bpsk_block_batch(
-            blocks[:, b * block:(b + 1) * block], cfg, st, tunings)
+            blocks[:, b * block:(b + 1) * block], cfg, st, tunings,
+            dofft=dofft, track_high=track_high)
         for s in range(n_demods):
             nh = int(out.n_hits[s])
             if not nh:
@@ -504,6 +530,10 @@ def main(argv=None):
                     help="loop the file source at EOF")
     dm.add_argument("--blocks", type=int, default=None,
                     help="stop streaming after N 0.1s blocks")
+    dm.add_argument("--device-convert", action="store_true",
+                    help="stream raw int16 and convert on the TPU "
+                    "(half the upload bytes; JavaAudio.java:275-293 "
+                    "semantics on-device)")
     dm.set_defaults(fn=cmd_demod)
 
     tl = sub.add_parser("telemetry", help="FUNcube BPSK + AO-40 FEC")
@@ -519,6 +549,10 @@ def main(argv=None):
                     help="replay a file source at real-time rate")
     tl.add_argument("--blocks", type=int, default=None,
                     help="stop streaming after N 1s blocks")
+    tl.add_argument("--device-convert", action="store_true",
+                    help="stream raw int16 and convert on the TPU "
+                    "(half the upload bytes; JavaAudio.java:275-293 "
+                    "semantics on-device)")
     tl.set_defaults(fn=cmd_telemetry)
 
     sy = sub.add_parser("synth", help="generate test fixtures")

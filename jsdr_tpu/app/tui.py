@@ -673,10 +673,12 @@ class StageManager:
             m.status = (f"telemetry disabled: {self.rate} S/s blocks do "
                         f"not fit the 9600 Hz chain")
             return None
+        # per-instance dofft/upper run in ONE batched call (a mixed set
+        # selects per stream; FUNcube<n>-bpsk-dofft/-upper)
         return TelemetryStage(
-            BpskConfig(rate=self.rate, tuning=m.tunings[0],
-                       dofft=m.dofft[0], track_high=m.track_high[0]),
-            tunings=list(m.tunings))
+            BpskConfig(rate=self.rate, tuning=m.tunings[0]),
+            tunings=list(m.tunings), dofft=list(m.dofft),
+            track_high=list(m.track_high))
 
     def _make_demod(self):
         from ..demod.am_fm import AmFmConfig

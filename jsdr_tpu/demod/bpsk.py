@@ -638,26 +638,22 @@ class BpskBlockOut(NamedTuple):
     energies: jnp.ndarray   # [2] f32: last (e1-smooth proxy e_out, max corr)
 
 
-def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
-               t_len: int, max_hits: int, compat_scan: bool):
-    """Per-stream decimated-domain chain: VCO mix -> matched filter ->
-    timing recovery -> bit compaction -> sync search. ds: [T//m]."""
-    bb, vco_idx = _vco_mix(ds, state.vco_idx)
-    # compat mode keeps the XLA-exact HIGHEST matched filter (it exists
-    # for strict parity work); the fast path uses the 3-pass bf16 split
-    mf, mf_tail = fir_apply_streaming(
-        bb, jnp.asarray(DM_FILTER.astype(np.float32)), state.mf_tail,
-        precision="highest" if compat_scan else "bf16x3")
+def _bpsk_post_mf(mf: CF, state: BpskState, tu_phase, ds_tail: CF,
+                  mf_tail: CF, vco_idx, ft_state,
+                  t_len: int, max_hits: int, compat_scan: bool):
+    """Per-stream chain from the matched-filter output onward: timing
+    recovery -> bit compaction -> sync search. mf: [T//m]."""
     if compat_scan:
         valid, bit, di, e2, timing = _timing_scan(mf, state.timing)
     else:
         valid, bit, di, e2, timing = _timing_parallel(mf, state.timing)
-    max_bits = 2 * (ds.shape[-1] // SAMPLES_PER_BIT) + 2
+    ds_len = mf.shape[-1]
+    max_bits = 2 * (ds_len // SAMPLES_PER_BIT) + 2
     bits, n_bits = _compact_bits(valid, bit, max_bits)
     windows, hit_corr, n_hits, ring = soft_frames_from_bits(
         bits, n_bits, state.ring, max_hits)
     counters = state.counters + jnp.stack(
-        [t_len, ds.shape[-1], n_bits, n_hits]).astype(jnp.int32)
+        [t_len, ds_len, n_bits, n_hits]).astype(jnp.int32)
     out = BpskBlockOut(
         windows=windows, hit_corr=hit_corr, n_hits=n_hits,
         bits=bits, n_bits=n_bits,
@@ -669,65 +665,97 @@ def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
     return out, new_state
 
 
-@partial(jax.jit, static_argnames=("rate", "mix_mode", "static_tunings",
-                                   "max_hits", "track_high", "compat_scan",
-                                   "use_pallas"))
-def _bpsk_block_batched(iq, states: BpskState, tunings, *, rate: int,
-                        mix_mode: str, static_tunings, max_hits: int,
-                        track_high: bool, compat_scan: bool,
-                        use_pallas: bool) -> Tuple[BpskBlockOut, BpskState]:
-    """Batched telemetry chain over [S, T] stream rows with per-stream
-    TRACED tunings [S] int32 (the N-tab analog, jsdr.java:479-484).
+def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
+               t_len: int, max_hits: int, compat_scan: bool):
+    """Per-stream decimated-domain chain: VCO mix -> matched filter ->
+    timing recovery -> bit compaction -> sync search. ds: [T//m]."""
+    bb, vco_idx = _vco_mix(ds, state.vco_idx)
+    # compat mode keeps the XLA-exact HIGHEST matched filter (it exists
+    # for strict parity work); the fast path uses the 3-pass bf16 split
+    mf, mf_tail = fir_apply_streaming(
+        bb, jnp.asarray(DM_FILTER.astype(np.float32)), state.mf_tail,
+        precision="highest" if compat_scan else "bf16x3")
+    return _bpsk_post_mf(mf, state, tu_phase, ds_tail, mf_tail, vco_idx,
+                         ft_state, t_len, max_hits, compat_scan)
 
-    The full-rate front end (tuner mix + decimating FIR — the HBM-bound
-    stage) runs as ONE fused Pallas kernel across all streams
-    (ops.pallas_kernels.mix_decimate) whenever every stream's quantized
-    NCO ramp is 128-lane periodic (mix_mode="pattern"); otherwise the
-    mix is a full-length exact-numerator elementwise pass
-    (mix_mode="general"). The decimated-domain stages are vmapped."""
-    from ..ops.pallas_kernels import mix_decimate
+
+def _vco_pattern(vco_idx: jnp.ndarray):
+    """[S, 128] VCO quadrature patterns for the fused front-end kernel:
+    decimated position p has phase index (vco_idx + p) % 8, and chunk
+    tiles are 128-lane (128 % 8 == 0), so the pattern broadcasts."""
+    m8 = (vco_idx[:, None]
+          + jnp.arange(128, dtype=jnp.int32)[None, :]) % 8
+    return jnp.asarray(_VCO_COS)[m8], jnp.asarray(_VCO_SIN)[m8]
+
+
+def _front_dofft(iq, states: BpskState, track_high, *, rate: int,
+                 use_pallas: bool, compat_scan: bool, fuse_mf: bool):
+    """FFT auto-tune front end (doBufferFFT, :406-464) for all streams;
+    track_high is a traced [S] bool (per-instance -upper)."""
+    from ..ops.pallas_kernels import mix_decimate, mix_decimate_mf
 
     m = rate // DOWN_SAMPLE_RATE
     s, t_len = iq.shape
-    assert t_len % (8 * m) == 0, (
-        f"block length {t_len} must be a multiple of 8*decim = {8 * m} "
-        "(timing recovery groups the decimated stream into whole "
-        "8-sample bit periods)")
     taps = DS_FILTER.astype(np.float32)
-    if mix_mode == "dofft":
-        samples = rate // 10      # the reference's 0.1 s FFT cadence
-        assert t_len % samples == 0, "dofft needs whole 0.1 s sub-blocks"
+    samples = rate // 10      # the reference's 0.1 s FFT cadence
+    assert t_len % samples == 0, "dofft needs whole 0.1 s sub-blocks"
 
-        def tune1(iq1, ft1):
-            mixed, _c, ft = fft_tuner_blocks(
-                iq1.reshape(-1, samples), ft1, track_high)
-            return mixed.reshape(t_len), ft
+    def tune1(iq1, ft1, th1):
+        mixed, _c, ft = fft_tuner_blocks(
+            iq1.reshape(-1, samples), ft1, th1)
+        return mixed.reshape(t_len), ft
 
-        mixed, ft_state = jax.vmap(tune1)(iq, states.fft_tuner)
-        tu_phase = states.tu_phase
-        ones = jnp.ones((s, 128), jnp.float32)
-        ds, ds_tail = mix_decimate(
-            mixed, ones, ones, taps, m, states.ds_tail,
+    mixed, ft_state = jax.vmap(tune1)(iq, states.fft_tuner, track_high)
+    ones = jnp.ones((s, 128), jnp.float32)
+    prec = "highest" if compat_scan else "bf16x3"
+    if fuse_mf:
+        vcoc, vcos = _vco_pattern(states.vco_idx)
+        mf, ds_tail, mf_tail = mix_decimate_mf(
+            mixed, ones, ones, taps, m, states.ds_tail, vcoc, vcos,
+            DM_FILTER.astype(np.float32), states.mf_tail,
             gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas,
-            precision="highest" if compat_scan else "bf16x3")
-    elif mix_mode == "pattern":
+            precision=prec)
+        return mf, ds_tail, mf_tail, states.tu_phase, ft_state
+    ds, ds_tail = mix_decimate(
+        mixed, ones, ones, taps, m, states.ds_tail,
+        gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas, precision=prec)
+    return ds, ds_tail, None, states.tu_phase, ft_state
+
+
+def _front_manual(iq, states: BpskState, tunings, *, rate: int,
+                  manual_mode: str, static_tunings, use_pallas: bool,
+                  compat_scan: bool, fuse_mf: bool):
+    """Manual-tune front end (RxMixTuner + decimator, :366-397, 466-492)."""
+    from ..ops.pallas_kernels import mix_decimate, mix_decimate_mf
+
+    m = rate // DOWN_SAMPLE_RATE
+    s, t_len = iq.shape
+    taps = DS_FILTER.astype(np.float32)
+    if manual_mode == "pattern":
         cos_pat, sin_pat = _nco_pattern(states.tu_phase, tunings, rate)
+        prec = "highest" if compat_scan else "bf16x3"
+        tu_phase = _nco_advance(states.tu_phase, tunings, rate, t_len)
+        if fuse_mf:
+            vcoc, vcos = _vco_pattern(states.vco_idx)
+            mf, ds_tail, mf_tail = mix_decimate_mf(
+                iq, cos_pat, sin_pat, taps, m, states.ds_tail, vcoc, vcos,
+                DM_FILTER.astype(np.float32), states.mf_tail,
+                gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas,
+                precision=prec)
+            return mf, ds_tail, mf_tail, tu_phase, states.fft_tuner
         ds, ds_tail = mix_decimate(
             iq, cos_pat, sin_pat, taps, m, states.ds_tail,
             gain=HOWARD_FUDGE_FACTOR, use_pallas=use_pallas,
-            precision="highest" if compat_scan else "bf16x3")
-        tu_phase = _nco_advance(states.tu_phase, tunings, rate, t_len)
-        ft_state = states.fft_tuner
-    elif mix_mode == "general":
+            precision=prec)
+    elif manual_mode == "general":
         # any integral tuning: exact-numerator full-length mix
         mixed, tu_phase = _tuner_full_mix(iq, states.tu_phase, tunings, rate)
         ds, ds_tail = polyphase_decimate(mixed, jnp.asarray(taps), m,
                                          tail=states.ds_tail,
                                          gain=HOWARD_FUDGE_FACTOR)
-        ft_state = states.fft_tuner
     else:
         # fractional tunings: STATIC per-stream host-f64 ramps (legacy)
-        assert mix_mode == "static" and len(static_tunings) == s
+        assert manual_mode == "static" and len(static_tunings) == s
         outs = []
         for i, tun in enumerate(static_tunings):
             mixed1, ph1 = _tuner_mix(iq[i], states.tu_phase[i], tun, rate)
@@ -740,11 +768,79 @@ def _bpsk_block_batched(iq, states: BpskState, tunings, *, rate: int,
         tu_phase = jnp.stack([o[1] for o in outs])
         ds_tail = CF(jnp.stack([o[2].re for o in outs]),
                      jnp.stack([o[2].im for o in outs]))
-        ft_state = states.fft_tuner
+    return ds, ds_tail, None, tu_phase, states.fft_tuner
 
+
+@partial(jax.jit, static_argnames=("rate", "mix_mode", "static_tunings",
+                                   "max_hits", "compat_scan",
+                                   "use_pallas"))
+def _bpsk_block_batched(iq, states: BpskState, tunings, dofft, track_high,
+                        *, rate: int, mix_mode: str, static_tunings,
+                        max_hits: int, compat_scan: bool,
+                        use_pallas: bool) -> Tuple[BpskBlockOut, BpskState]:
+    """Batched telemetry chain over [S, T] stream rows with per-stream
+    TRACED tunings [S] int32 (the N-tab analog, jsdr.java:479-484) and
+    per-stream TRACED dofft/track_high [S] bool (the per-tab
+    FUNcube<n>-bpsk-dofft / -upper keys, FUNcubeBPSKDemod.java:97-99).
+
+    The full-rate front end (tuner mix + decimating FIR — the HBM-bound
+    stage) runs as ONE fused Pallas kernel across all streams
+    (ops.pallas_kernels.mix_decimate) whenever every stream's quantized
+    NCO ramp is 128-lane periodic (manual mode "pattern"); otherwise the
+    mix is a full-length exact-numerator elementwise pass ("general").
+    ``mix_mode`` is "dofft" (all streams auto-tune), a manual mode
+    (no stream auto-tunes), or "mixed:<manual_mode>" — both front ends
+    run and each stream selects per its dofft flag (costs one extra
+    front-end pass, only for heterogeneous instance sets). The
+    decimated-domain stages are vmapped."""
+    s, t_len = iq.shape
+    m = rate // DOWN_SAMPLE_RATE
+    assert t_len % (8 * m) == 0, (
+        f"block length {t_len} must be a multiple of 8*decim = {8 * m} "
+        "(timing recovery groups the decimated stream into whole "
+        "8-sample bit periods)")
+    # the VCO + matched filter fuse into the front-end Pallas kernel
+    # (one HBM read of the input, the decimated stream never written)
+    # whenever every involved front end goes through mix_decimate;
+    # compat_scan keeps the XLA-exact legacy path for parity work
+    fuse_mf = (use_pallas and not compat_scan
+               and mix_mode in ("dofft", "pattern", "mixed:pattern"))
+    if mix_mode == "dofft":
+        x, ds_tail, mf_tail, tu_phase, ft_state = _front_dofft(
+            iq, states, track_high, rate=rate, use_pallas=use_pallas,
+            compat_scan=compat_scan, fuse_mf=fuse_mf)
+    elif mix_mode.startswith("mixed:"):
+        manual_mode = mix_mode[len("mixed:"):]
+        x_f, tail_f, mft_f, _ph_f, ft_f = _front_dofft(
+            iq, states, track_high, rate=rate, use_pallas=use_pallas,
+            compat_scan=compat_scan, fuse_mf=fuse_mf)
+        x_m, tail_m, mft_m, ph_m, _ft_m = _front_manual(
+            iq, states, tunings, rate=rate, manual_mode=manual_mode,
+            static_tunings=static_tunings, use_pallas=use_pallas,
+            compat_scan=compat_scan, fuse_mf=fuse_mf)
+        sel = lambda a, b: jnp.where(
+            dofft.reshape((s,) + (1,) * (a.ndim - 1)), a, b)
+        x = CF(sel(x_f.re, x_m.re), sel(x_f.im, x_m.im))
+        ds_tail = CF(sel(tail_f.re, tail_m.re), sel(tail_f.im, tail_m.im))
+        mf_tail = (CF(sel(mft_f.re, mft_m.re), sel(mft_f.im, mft_m.im))
+                   if fuse_mf else None)
+        tu_phase = jnp.where(dofft, states.tu_phase, ph_m)
+        ft_state = jax.tree.map(sel, ft_f, states.fft_tuner)
+    else:
+        x, ds_tail, mf_tail, tu_phase, ft_state = _front_manual(
+            iq, states, tunings, rate=rate, manual_mode=mix_mode,
+            static_tunings=static_tunings, use_pallas=use_pallas,
+            compat_scan=compat_scan, fuse_mf=fuse_mf)
+
+    if fuse_mf:
+        vco_idx = (states.vco_idx + (t_len // m)) % 8
+        post = partial(_bpsk_post_mf, t_len=t_len, max_hits=max_hits,
+                       compat_scan=compat_scan)
+        return jax.vmap(post)(x, states, tu_phase, ds_tail, mf_tail,
+                              vco_idx, ft_state)
     post = partial(_bpsk_post, t_len=t_len, max_hits=max_hits,
                    compat_scan=compat_scan)
-    return jax.vmap(post)(ds, states, tu_phase, ds_tail, ft_state)
+    return jax.vmap(post)(x, states, tu_phase, ds_tail, ft_state)
 
 
 def bpsk_block(iq, cfg: BpskConfig, state: BpskState,
@@ -776,8 +872,8 @@ def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
 
 
 def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
-                     use_pallas: bool | None = None
-                     ) -> Tuple[BpskBlockOut, BpskState]:
+                     use_pallas: bool | None = None, dofft=None,
+                     track_high=None) -> Tuple[BpskBlockOut, BpskState]:
     """Batched telemetry chain over independent streams: [S, T] blocks.
 
     ``tunings``: host array-like [S] of per-stream NCO Hz (defaults to
@@ -786,6 +882,13 @@ def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
     FUNcubeBPSKDemod.java:195-196). Integral tunings are traced data:
     retuning between calls does NOT recompile. The host owns this array;
     pass plain numpy/ints.
+
+    ``dofft`` / ``track_high``: host bool array-likes [S] — per-instance
+    FUNcube<n>-bpsk-dofft / -upper (FUNcubeBPSKDemod.java:97-99); default
+    to cfg.dofft / cfg.track_high for every stream. A heterogeneous
+    dofft set runs BOTH front ends and selects per stream (one compile,
+    one extra front-end pass); toggling values never recompiles within
+    the same all-manual / all-auto / mixed class.
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
@@ -795,20 +898,28 @@ def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
         tunings = np.full(s, cfg.tuning, np.float64)
     tun_np = np.asarray(tunings, np.float64).reshape(-1)
     assert tun_np.shape[0] == s, (tun_np.shape, s)
+    dofft_np = np.broadcast_to(
+        np.asarray(cfg.dofft if dofft is None else dofft, bool), (s,)).copy()
+    th_np = np.broadcast_to(
+        np.asarray(cfg.track_high if track_high is None else track_high,
+                   bool), (s,)).copy()
     static_tunings = None
-    if cfg.dofft:
-        mix_mode = "dofft"
-        tun_arr = np.zeros(s, np.int32)
-    elif np.all(tun_np == np.round(tun_np)):
-        mix_mode = "pattern" if pattern_mix_ok(tun_np, cfg.rate) \
+    if np.all(tun_np == np.round(tun_np)):
+        manual_mode = "pattern" if pattern_mix_ok(tun_np, cfg.rate) \
             else "general"
         tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
     else:
-        mix_mode = "static"
+        manual_mode = "static"
         static_tunings = tuple(float(t) for t in tun_np)
         tun_arr = np.zeros(s, np.int32)
+    if dofft_np.all():
+        mix_mode = "dofft"
+    elif dofft_np.any():
+        mix_mode = f"mixed:{manual_mode}"
+    else:
+        mix_mode = manual_mode
     return _bpsk_block_batched(
-        iq, states, tun_arr, rate=cfg.rate, mix_mode=mix_mode,
-        static_tunings=static_tunings, max_hits=cfg.max_hits_per_block,
-        track_high=cfg.track_high, compat_scan=cfg.compat_scan,
+        iq, states, tun_arr, dofft_np, th_np, rate=cfg.rate,
+        mix_mode=mix_mode, static_tunings=static_tunings,
+        max_hits=cfg.max_hits_per_block, compat_scan=cfg.compat_scan,
         use_pallas=bool(use_pallas))

@@ -48,13 +48,17 @@ def fft_tuner_init() -> FftTunerState:
     )
 
 
-def _tune_one_block(state: FftTunerState, iq: CF, *, track_high: bool):
+def _tune_one_block(state: FftTunerState, iq: CF, *, track_high):
     samples = iq.shape[-1]
     spec = fft_cf(iq)
     psd = spec[: samples // 2].abs()
 
-    beg = samples // 4 if track_high else 0
-    end = samples // 2 if track_high else samples // 4
+    # track_high is TRACED (scalar bool): the search half-band is data,
+    # so per-instance FUNcube<n>-bpsk-upper settings batch in one compile
+    # (FUNcubeBPSKDemod.java:97-99) and toggling never recompiles
+    th = jnp.asarray(track_high)
+    beg = jnp.where(th, samples // 4, 0)
+    end = jnp.where(th, samples // 2, samples // 4)
     # box sum over [i-50, i+50) via cumulative sum
     csum = jnp.cumsum(jnp.concatenate([jnp.zeros(1, psd.dtype), psd]))
     i_all = jnp.arange(samples // 2)
@@ -86,21 +90,23 @@ def _tune_one_block(state: FftTunerState, iq: CF, *, track_high: bool):
     return new_state, (CF(feed_re, feed_re), centre2)
 
 
-@partial(jax.jit, static_argnames=("track_high",))
+@jax.jit
 def _fft_tuner_blocks_jit(iq_blocks: CF, state: FftTunerState,
-                          track_high: bool):
+                          track_high: jnp.ndarray):
     step = partial(_tune_one_block, track_high=track_high)
     new_state, (feeds, centres) = lax.scan(step, state, iq_blocks)
     return feeds.reshape(-1), centres, new_state
 
 
 def fft_tuner_blocks(iq_blocks, state: FftTunerState,
-                     track_high: bool = False
+                     track_high=False
                      ) -> Tuple[CF, jnp.ndarray, FftTunerState]:
     """Auto-tune a sequence of 0.1 s blocks.
 
-    iq_blocks: CF [n_blocks, samples] (or host complex). Returns (feed CF
-    [n_blocks*samples] with I=Q=real part, centre_bins [n_blocks] i32,
-    new state).
+    iq_blocks: CF [n_blocks, samples] (or host complex). ``track_high``
+    may be a python bool or a traced scalar bool (per-instance
+    FUNcube<n>-bpsk-upper). Returns (feed CF [n_blocks*samples] with
+    I=Q=real part, centre_bins [n_blocks] i32, new state).
     """
-    return _fft_tuner_blocks_jit(as_cf(iq_blocks), state, track_high)
+    return _fft_tuner_blocks_jit(as_cf(iq_blocks), state,
+                                 jnp.asarray(track_high, bool))

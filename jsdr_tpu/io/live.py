@@ -52,12 +52,16 @@ class StreamSource:
 
     def __init__(self, spec: str, rate: int = 96000, channels: int = 2,
                  i_corr: int = 0, q_corr: int = 0,
-                 chunk_samples: int = 9600):
+                 chunk_samples: int = 9600, raw: bool = False):
         self.rate = rate
         self.channels = channels
         self.i_corr = i_corr
         self.q_corr = q_corr
         self.chunk_samples = chunk_samples
+        # raw mode: yield int16 interleaved chunks unconverted — the
+        # Session converts ON DEVICE and raw taps (recorder) see the
+        # capture bytes verbatim (JavaAudio.java:261-265)
+        self.raw = raw
         self._proc: Optional[subprocess.Popen] = None
         self._own_fh = False
         if spec.startswith("capture:"):
@@ -87,8 +91,11 @@ class StreamSource:
             n = (len(buf) // frame) * frame
             if n:
                 chunk, buf = buf[:n], buf[n:]
-                yield s16le_to_complex(chunk, self.channels,
-                                       self.i_corr, self.q_corr)
+                if self.raw:
+                    yield np.frombuffer(chunk, dtype="<i2")
+                else:
+                    yield s16le_to_complex(chunk, self.channels,
+                                           self.i_corr, self.q_corr)
         self.close()
 
     __iter__ = blocks
@@ -122,7 +129,9 @@ class PacedSource:
         t0 = self._clock()
         sent = 0
         for chunk in self.inner:
-            sent += len(chunk)
+            # raw int16 chunks interleave 2 values per IQ sample
+            vals = 2 if np.asarray(chunk).dtype == np.int16 else 1
+            sent += len(chunk) // vals
             deadline = t0 + sent / self.rate
             delay = deadline - self._clock()
             if delay > 0:

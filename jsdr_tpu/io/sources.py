@@ -67,6 +67,21 @@ class FileSource:
             pos += n
             yield s16le_to_complex(chunk, self.channels, self.i_corr, self.q_corr)
 
+    def raw_blocks(self, block_samples: int) -> Iterator[np.ndarray]:
+        """Yield raw interleaved int16 blocks (no conversion) — the
+        pre-conversion capture stream for device-side convert sessions
+        and raw record taps (JavaAudio.java:261-265)."""
+        n = block_samples * self.channels
+        pos = 0
+        data = self._data
+        while True:
+            if pos + n > len(data):
+                if not self.loop:
+                    return
+                pos = 0
+            yield data[pos:pos + n]
+            pos += n
+
     def all(self) -> np.ndarray:
         return s16le_to_complex(self._data, self.channels, self.i_corr, self.q_corr)
 

@@ -150,6 +150,17 @@ def _make_spec_dot(precision: str):
     import jax.lax as lax
     if precision == "bf16x3":
         return _bf16x3_dot
+    if precision == "bf16":
+        # single bf16 pass — ~2^-8 relative error; for perf attribution
+        # experiments only, not a production default
+        def dot1(a, b, dn=None):
+            d = lax.Precision.DEFAULT
+            if dn is None:
+                return jnp.dot(a, b, precision=d,
+                               preferred_element_type=jnp.float32)
+            return lax.dot_general(a, b, dn, precision=d,
+                                   preferred_element_type=jnp.float32)
+        return dot1
 
     def dot(a, b, dn=None):
         if dn is None:
@@ -163,7 +174,7 @@ def _make_spec_dot(precision: str):
 def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
                            twr, twi, w2r, w2i, w2s1, w2s2,
                            psd_ref, mx_ref, idx_ref, *, n1: int, n2: int,
-                           precision: str = "highest"):
+                           precision: str = "highest", wf_group: int = 0):
     import jax.lax as lax
 
     n = n1 * n2
@@ -205,17 +216,40 @@ def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
             dr = dot(cr, w2r[...], dn) - dot(ci, w2i[...], dn)
             di = dot(cr, w2i[...], dn) + dot(ci, w2r[...], dn)
         power = (dr * dr + di * di) * cf
-        db = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
-        psd_ref[0, r] = db
+        if wf_group:
+            # waterfall mode: natural-order max-decimation WITHOUT a
+            # transpose. Natural bin = n1*k2 + k1, so a run of wf_group
+            # consecutive k1 at fixed k2 is wf_group CONSECUTIVE natural
+            # bins — a sublane-group max IS a natural-order decimation
+            # (display pixel p = (n1//wf_group)*k2 + g). 5x fewer HBM
+            # bytes than the full PSD (which the display would decimate
+            # anyway, waterfall.java:90-107). Everything reduces on raw
+            # POWER and the log runs on the wf_group-times-smaller
+            # decimated line only: log10 is monotone, so
+            # log(max(p)) == max(log(p)) exactly and the transcendental
+            # count drops by the decimation factor (the log10 over all
+            # 9600 bins was a dominant VPU cost of the kernel).
+            g = n1 // wf_group
+            dec = jnp.max(power.reshape(g, wf_group, n2), axis=1)
+            psd_ref[0, r] = 10.0 * jnp.log10(jnp.maximum(dec, _EPS))
+            peak_src = power
+        else:
+            db = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
+            psd_ref[0, r] = db
+            peak_src = db
         # fused peak search: the PSD never needs a second HBM pass.
         # flat permuted index k1*n2 + k2 with jnp.argmax's exact
         # first-occurrence tie-break: per-column first argmax, then the
-        # minimum flat index among columns that reach the global max
-        col_max = jnp.max(db, axis=0)                        # [n2]
-        col_arg = jnp.argmax(db, axis=0).astype(jnp.int32)   # first k1
-        mx = jnp.max(col_max)
+        # minimum flat index among columns that reach the global max.
+        # (waterfall mode searches on power — same argmax and, after the
+        # scalar log below, the same dB value, by monotonicity)
+        col_max = jnp.max(peak_src, axis=0)                      # [n2]
+        col_arg = jnp.argmax(peak_src, axis=0).astype(jnp.int32)  # first k1
+        mx_raw = jnp.max(col_max)
+        mx = (10.0 * jnp.log10(jnp.maximum(mx_raw, _EPS)) if wf_group
+              else mx_raw)
         lane = lax.broadcasted_iota(jnp.int32, (1, n2), 1)[0]
-        cand = jnp.where(col_max == mx, col_arg * n2 + lane,
+        cand = jnp.where(col_max == mx_raw, col_arg * n2 + lane,
                          jnp.int32(n1 * n2))
         # scalar results broadcast across a 128-lane output row (Mosaic
         # requires 128-divisible output lanes); callers read lane 0
@@ -224,8 +258,10 @@ def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "window", "interpret", "precision"))
-def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
+                   static_argnames=("n", "window", "interpret", "precision",
+                                    "wf_group"))
+def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3",
+                        wf_group=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -236,6 +272,7 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
     n2 = 128
     n1 = n // n2
     nblk = t // n
+    n1_out = n1 // wf_group if wf_group else n1
     w1r, w1i = _dft_mats(n1, -1.0)
     twr, twi = _twiddles(n1, n2, -1.0)
     w2r, w2i = _dft_mats(n2, -1.0)
@@ -261,7 +298,7 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
         jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
                                  w2r, w2i, w2s1, w2s2)]
     kernel = functools.partial(_spectrum_fused_kernel, n1=n1, n2=n2,
-                               precision=precision)
+                               precision=precision, wf_group=wf_group)
     psd, mx, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -272,7 +309,7 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
                          memory_space=pltpu.VMEM),
         ] + [const(z) for z in consts],
         out_specs=[
-            pl.BlockSpec((1, rows, n1, n2), lambda i, j: (j, i, 0, 0),
+            pl.BlockSpec((1, rows, n1_out, n2), lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, 128), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
@@ -280,7 +317,7 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3"):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nblk, sp, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, sp, n1_out, n2), jnp.float32),
             jax.ShapeDtypeStruct((nblk, sp, 128), jnp.float32),
             jax.ShapeDtypeStruct((nblk, sp, 128), jnp.int32),
         ],
@@ -328,6 +365,55 @@ def spectrum_natural_order(psd_perm: jnp.ndarray) -> jnp.ndarray:
     (one XLA transpose — use only on display/compat paths)."""
     nblk, s, n1, n2 = psd_perm.shape
     return jnp.transpose(psd_perm, (1, 0, 3, 2)).reshape(s, nblk, n1 * n2)
+
+
+def wf_group_for(n: int, max_width: int = 2048) -> int:
+    """Smallest divisor q of n1 = n//128 with (n1//q)*128 <= max_width
+    (the in-kernel waterfall decimation group; 96 k -> q=5 / width 1920,
+    192 k -> q=10 / width 1920)."""
+    n1 = n // 128
+    for q in range(1, n1 + 1):
+        if n1 % q == 0 and (n1 // q) * 128 <= max_width:
+            return q
+    return n1
+
+
+def spectrum_waterfall(iq, n: int, window: bool = True,
+                       interpret: bool = False,
+                       precision: str = "bf16x3",
+                       max_width: int = 2048):
+    """Fused window+FFT+PSD -> DISPLAY-decimated dB lines + peaks, never
+    materializing the full PSD in HBM.
+
+    The waterfall display max-decimates the PSD to screen width before
+    the intensity map (waterfall.java:90-107 after fft.java's per-pixel
+    max, fft.java:142-150); this kernel performs that max-decimation
+    while the PSD is still in VMEM. Decimation rides the permuted
+    layout: natural bin = n1*k2 + k1, so a group of q consecutive k1 at
+    fixed k2 is q consecutive natural bins and the group-max IS a
+    natural-order decimation (q = ``wf_group_for(n, max_width)``,
+    width = (n1//q)*128).
+
+    Returns (wf [T//n, S, n1//q, 128] dB f32, peak_db [T//n, S],
+    flat permuted argmax [T//n, S]). Display pixel p = (n1//q)*k2 + g;
+    use :func:`waterfall_natural_order` to flatten, then
+    ``ops.spectrum.waterfall_intensity`` (monotone, so max-then-map
+    equals map-then-max) and any further 2x max-decimation to narrower
+    screens stays exact (max is associative)."""
+    iq = as_cf(iq)
+    s, t = iq.shape
+    assert t % n == 0 and n % 128 == 0 and n // 128 <= 512
+    q = wf_group_for(n, max_width)
+    return _spectrum_fused_jit(iq.re.astype(jnp.float32),
+                               iq.im.astype(jnp.float32),
+                               n, window, interpret, precision, wf_group=q)
+
+
+def waterfall_natural_order(wf: jnp.ndarray) -> jnp.ndarray:
+    """[nblk, S, G, n2] decimated lines -> [S, nblk, G*n2] natural pixel
+    order (pixel p = G*k2 + g; tiny XLA transpose at display cadence)."""
+    nblk, s, g, n2 = wf.shape
+    return jnp.transpose(wf, (1, 0, 3, 2)).reshape(s, nblk, g * n2)
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +599,225 @@ def _mix_decimate_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
     yr, yi = yr[:s, :n_out], yi[:s, :n_out]
     # new mixed-domain tail = last ntaps-1 valid mixed samples
     return yr, yi, tlr[:s, 128 - (ntaps - 1):], tli[:s, 128 - (ntaps - 1):]
+
+
+# ---------------------------------------------------------------------------
+# Fully fused telemetry front end: tuner mix + decimating FIR + VCO mix +
+# matched filter in ONE kernel.
+#
+# Extends the mix+decimate kernel with the two decimated-domain stages
+# that XLA otherwise runs as separate HBM passes (FUNcubeBPSKDemod.java:
+# 511-523): the 1200 Hz VCO quadrature mix and the 65-tap RRC matched
+# filter. Because the decimated chunk (1280 samples) is a multiple of 8
+# and the VCO advances exactly pi/4 per decimated sample, the VCO factor
+# for in-chunk position p depends only on p mod 8 = lane mod 8 — one
+# [S, 128] pattern broadcasts across every tile of every chunk. The
+# matched filter is a second banded MXU matmul (m=1) against the
+# vco-mixed chunk with a 128-lane carried halo. The decimated stream is
+# never written to HBM: one read of the raw input, one write of the
+# (rate/9600)x-smaller matched-filter output, plus the carried tails.
+# ---------------------------------------------------------------------------
+
+
+def _mix_dec_mf_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, m0r_ref, m0i_ref,
+                       cos_ref, sin_ref, vcoc_ref, vcos_ref,
+                       tap_ref, mtap_ref, or_ref, oi_ref,
+                       tlr_ref, tli_ref, mlr_ref, mli_ref,
+                       hr_ref, hi_ref, mhr_ref, mhi_ref, *,
+                       m: int, t_len: int, nb: int,
+                       precision: str = "highest"):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    wp = xr_ref.shape[-1]                 # chunk span = _MD_CHUNK_OUT * m
+    k_tiles = _MD_CHUNK_OUT // 128
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        hr_ref[...] = t0r_ref[...]
+        hi_ref[...] = t0i_ref[...]
+        mhr_ref[...] = m0r_ref[...]
+        mhi_ref[...] = m0i_ref[...]
+
+    lane = lax.broadcasted_iota(jnp.int32, (_MD_ROWS, wp), 1)
+    mask = (j * wp + lane) < t_len        # ragged last chunk -> zeros
+    x3r = xr_ref[...].reshape(_MD_ROWS, wp // 128, 128)
+    x3i = xi_ref[...].reshape(_MD_ROWS, wp // 128, 128)
+    mr = (x3r * cos_ref[...][:, None, :]).reshape(_MD_ROWS, wp)
+    mi = (x3i * sin_ref[...][:, None, :]).reshape(_MD_ROWS, wp)
+    wr = jnp.concatenate([hr_ref[...], jnp.where(mask, mr, 0.0)], axis=1)
+    wi = jnp.concatenate([hi_ref[...], jnp.where(mask, mi, 0.0)], axis=1)
+    span = 128 * (m + 1)
+    parts = [wr[:, 128 * m * k: 128 * m * k + span] for k in range(k_tiles)]
+    parts += [wi[:, 128 * m * k: 128 * m * k + span] for k in range(k_tiles)]
+    wall = jnp.concatenate(parts, axis=0)           # [2K*8, span]
+    dot = _make_spec_dot(precision)
+    y = dot(wall, tap_ref[...])                     # [2K*8, 128]
+    y4 = y.reshape(2, k_tiles, _MD_ROWS, 128)
+    # VCO quadrature mix (bi = i*cos, bq = q*sin — the reference's
+    # non-complex quirk, :515-516): phase index = lane mod 8, so the
+    # [8, 128] per-stream pattern broadcasts across the k tiles
+    bbr = (y4[0] * vcoc_ref[...][None, :, :]).reshape(
+        k_tiles, _MD_ROWS, 128)
+    bbi = (y4[1] * vcos_ref[...][None, :, :]).reshape(
+        k_tiles, _MD_ROWS, 128)
+    br = jnp.moveaxis(bbr, 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
+    bi = jnp.moveaxis(bbi, 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
+    # matched filter: m=1 banded matmul over [mf halo ++ bb]
+    ur = jnp.concatenate([mhr_ref[...], br], axis=1)   # [8, 128+1280]
+    ui = jnp.concatenate([mhi_ref[...], bi], axis=1)
+    mparts = [ur[:, 128 * k: 128 * k + 256] for k in range(k_tiles)]
+    mparts += [ui[:, 128 * k: 128 * k + 256] for k in range(k_tiles)]
+    mwall = jnp.concatenate(mparts, axis=0)          # [2K*8, 256]
+    z = dot(mwall, mtap_ref[...])                    # [2K*8, 128]
+    z4 = z.reshape(2, k_tiles, _MD_ROWS, 128)
+    or_ref[...] = jnp.moveaxis(z4[0], 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
+    oi_ref[...] = jnp.moveaxis(z4[1], 0, 1).reshape(_MD_ROWS, _MD_CHUNK_OUT)
+    # carry halos to the next grid step
+    hr_ref[...] = wr[:, wp:wp + 128]
+    hi_ref[...] = wi[:, wp:wp + 128]
+    mhr_ref[...] = ur[:, _MD_CHUNK_OUT:_MD_CHUNK_OUT + 128]
+    mhi_ref[...] = ui[:, _MD_CHUNK_OUT:_MD_CHUNK_OUT + 128]
+
+    # carried tails come from the final chunk at STATIC offsets
+    e_last = t_len - (nb - 1) * wp                    # mixed domain
+    e_ds = e_last // m                                # decimated domain
+
+    @pl.when(j == nb - 1)
+    def _():
+        tlr_ref[...] = wr[:, e_last:e_last + 128]
+        tli_ref[...] = wi[:, e_last:e_last + 128]
+        mlr_ref[...] = ur[:, e_ds:e_ds + 128]
+        mli_ref[...] = ui[:, e_ds:e_ds + 128]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "gain", "use_pallas",
+                                             "interpret", "precision"))
+def _mix_dec_mf_jit(xr, xi, cos_pat, sin_pat, vcoc, vcos, taps, tapmat,
+                    mf_taps, mtapmat, tail_r, tail_i, mtail_r, mtail_i,
+                    m, gain, use_pallas, interpret, precision):
+    if not use_pallas and not interpret:
+        ds, new_tail = _mix_decimate_ref(
+            CF(xr, xi), cos_pat, sin_pat, taps, m, CF(tail_r, tail_i), gain)
+        # jnp oracle for the fused tail: broadcast VCO pattern + FIR
+        t_ds = ds.shape[-1]
+        reps = -(-t_ds // 128)
+        vc = jnp.tile(vcoc, (1, reps))[:, :t_ds]
+        vs = jnp.tile(vcos, (1, reps))[:, :t_ds]
+        bb = CF(ds.re * vc, ds.im * vs)
+        from .fir import fir_apply_streaming
+        mf, mf_tail = fir_apply_streaming(
+            bb, mf_taps, CF(mtail_r, mtail_i), precision=precision)
+        return (mf.re, mf.im, new_tail.re, new_tail.im,
+                mf_tail.re, mf_tail.im)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s, t = xr.shape
+    ntaps = taps.shape[0]
+    n_mf = mf_taps.shape[0]
+    wp = _MD_CHUNK_OUT * m
+    nb = -(-t // wp)
+    rows = _MD_ROWS
+    pad_s = -s % rows
+    if pad_s:
+        zr = jnp.zeros((pad_s, t), xr.dtype)
+        xr, xi = jnp.concatenate([xr, zr]), jnp.concatenate([xi, zr])
+        zp = jnp.zeros((pad_s, 128), xr.dtype)
+        cos_pat = jnp.concatenate([cos_pat, zp])
+        sin_pat = jnp.concatenate([sin_pat, zp])
+        vcoc = jnp.concatenate([vcoc, zp])
+        vcos = jnp.concatenate([vcos, zp])
+        zt = jnp.zeros((pad_s, ntaps - 1), xr.dtype)
+        tail_r = jnp.concatenate([tail_r, zt])
+        tail_i = jnp.concatenate([tail_i, zt])
+        zm = jnp.zeros((pad_s, n_mf - 1), xr.dtype)
+        mtail_r = jnp.concatenate([mtail_r, zm])
+        mtail_i = jnp.concatenate([mtail_i, zm])
+    sp = s + pad_s
+
+    t0r = jnp.pad(tail_r, ((0, 0), (128 - (ntaps - 1), 0)))
+    t0i = jnp.pad(tail_i, ((0, 0), (128 - (ntaps - 1), 0)))
+    m0r = jnp.pad(mtail_r, ((0, 0), (128 - (n_mf - 1), 0)))
+    m0i = jnp.pad(mtail_i, ((0, 0), (128 - (n_mf - 1), 0)))
+
+    kernel = functools.partial(_mix_dec_mf_kernel, m=m, t_len=t, nb=nb,
+                               precision=precision)
+    row_spec = lambda w: pl.BlockSpec((rows, w), lambda i, j: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    yr, yi, tlr, tli, mlr, mli = pl.pallas_call(
+        kernel,
+        grid=(sp // rows, nb),
+        in_specs=[
+            pl.BlockSpec((rows, wp), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, wp), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            row_spec(128), row_spec(128), row_spec(128), row_spec(128),
+            row_spec(128), row_spec(128), row_spec(128), row_spec(128),
+            pl.BlockSpec(tapmat.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mtapmat.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, _MD_CHUNK_OUT), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _MD_CHUNK_OUT), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            row_spec(128), row_spec(128), row_spec(128), row_spec(128),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, nb * _MD_CHUNK_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((sp, nb * _MD_CHUNK_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32),
+                        pltpu.VMEM((rows, 128), jnp.float32),
+                        pltpu.VMEM((rows, 128), jnp.float32),
+                        pltpu.VMEM((rows, 128), jnp.float32)],
+        interpret=interpret,
+    )(xr, xi, t0r, t0i, m0r, m0i, cos_pat, sin_pat, vcoc, vcos,
+      tapmat, mtapmat)
+    n_out = t // m
+    yr, yi = yr[:s, :n_out], yi[:s, :n_out]
+    return (yr, yi, tlr[:s, 128 - (ntaps - 1):], tli[:s, 128 - (ntaps - 1):],
+            mlr[:s, 128 - (n_mf - 1):], mli[:s, 128 - (n_mf - 1):])
+
+
+def mix_decimate_mf(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,
+                    vco_cos, vco_sin, mf_taps, mf_tail: CF,
+                    gain: float = 1.0, use_pallas: bool | None = None,
+                    interpret: bool = False, precision: str = "bf16x3"):
+    """Fused NCO mix + decimate-by-m FIR + VCO mix + matched filter.
+
+    Same contract as :func:`mix_decimate` plus: ``vco_cos``/``vco_sin``
+    [S, 128] per-stream VCO patterns (pi/4-per-sample quadrature table,
+    valid because in-chunk decimated position mod 8 == lane mod 8),
+    ``mf_taps`` [n_mf] matched-filter taps, ``mf_tail`` CF [S, n_mf-1]
+    carried vco-mixed history. Returns (mf CF [S, T//m], new_tail CF,
+    new_mf_tail CF). The decimated stream itself never touches HBM.
+    """
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    s, t = iq.shape
+    assert t % m == 0
+    taps_np = np.asarray(taps, np.float32)
+    mf_np = np.asarray(mf_taps, np.float32)
+    assert len(mf_np) <= 129, "matched filter exceeds the carried halo"
+    tapmat = jnp.asarray(_dec_tapmat(taps_np, m, float(gain)))
+    mtapmat = jnp.asarray(_dec_tapmat(mf_np, 1, 1.0))
+    yr, yi, tr, ti, mr_, mi_ = _mix_dec_mf_jit(
+        iq.re, iq.im, cos_pat, sin_pat, vco_cos, vco_sin,
+        jnp.asarray(taps_np), tapmat, jnp.asarray(mf_np), mtapmat,
+        tail.re, tail.im, mf_tail.re, mf_tail.im,
+        m, float(gain), use_pallas, interpret, precision)
+    return CF(yr, yi), CF(tr, ti), CF(mr_, mi_)
 
 
 def mix_decimate(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,

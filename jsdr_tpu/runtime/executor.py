@@ -28,9 +28,18 @@ from .state import load_state, save_state
 
 @dataclass
 class Session:
-    """One streaming processing session."""
+    """One streaming processing session.
 
-    source: Iterator[np.ndarray]          # yields complex64 chunks
+    Sources may yield either complex64 chunks (host-converted, the
+    legacy path) or interleaved int16 chunks (raw mode): raw chunks are
+    published verbatim on the 'raw-block' topic BEFORE conversion (the
+    IRawHandler fan-out, JavaAudio.java:261-265) and then converted ON
+    DEVICE (io.convert_device.s16_to_cf — int16 upload halves transfer
+    bytes and the wrap/scale loop runs on the VPU), with ``i_corr`` /
+    ``q_corr`` applied there (JavaAudio.java:275-293 semantics).
+    """
+
+    source: Iterator[np.ndarray]          # complex64 or int16 chunks
     block_samples: int
     pubsub: PubSub = field(default_factory=PubSub)
     logger: Logger = field(default_factory=Logger)
@@ -38,21 +47,37 @@ class Session:
     checkpoint_path: Optional[Path] = None
     checkpoint_every_blocks: int = 0
     dropped_blocks: dict = field(default_factory=dict)  # stage name -> count
+    i_corr: int = 0                      # DC corrections for raw-mode
+    q_corr: int = 0                      # device conversion
+    channels: int = 2
 
     def run(self, stages: list["Stage"], max_blocks: Optional[int] = None):
         """Drive blocks through the stages until the source ends."""
         import jax
         import jax.numpy as jnp
-        from ..io.framer import BlockFramer
+        from ..io.framer import BlockFramer, RawBlockFramer
 
-        framer = BlockFramer(self.block_samples)
+        framer = None
         n = 0
-        pending = None   # (stage outputs of previous block) — async overlap
         for chunk in self.source:
+            if framer is None:
+                raw = np.asarray(chunk).dtype == np.int16
+                framer = (RawBlockFramer(self.block_samples, self.channels)
+                          if raw else BlockFramer(self.block_samples))
             for block in framer.push(chunk):
-                with self.timers.stage("h2d", samples=len(block)):
-                    from ..ops.cplx import as_cf
-                    dev = as_cf(block)   # host split; planes upload at jit
+                with self.timers.stage("h2d", samples=self.block_samples):
+                    if raw:
+                        # raw fan-out precedes conversion — recorder taps
+                        # see the exact capture bytes (recorder.java:66-74)
+                        self.pubsub.publish("raw-block", block)
+                        from ..io.convert_device import s16_to_cf
+                        dev = s16_to_cf(jnp.asarray(block),
+                                        jnp.int32(self.i_corr),
+                                        jnp.int32(self.q_corr),
+                                        channels=self.channels)
+                    else:
+                        from ..ops.cplx import as_cf
+                        dev = as_cf(block)  # host split; upload at jit
                 for stage in stages:
                     with self.timers.stage(stage.name, samples=len(block)):
                         # snapshot carried state so a retry re-runs the block
@@ -91,8 +116,19 @@ class Session:
                         and n % self.checkpoint_every_blocks == 0):
                     self.save_checkpoint(stages)
                 if max_blocks is not None and n >= max_blocks:
+                    self._finish(stages)
                     return n
+        self._finish(stages)
         return n
+
+    def _finish(self, stages: list["Stage"]):
+        """Flush stages that defer device readbacks (e.g. telemetry
+        batches counter/frame syncs every N blocks)."""
+        for stage in stages:
+            try:
+                stage.finish(self)
+            except Exception as e:  # noqa: BLE001
+                self.logger.alert(f"stage {stage.name} finish: {e!r:.120}")
 
     def save_checkpoint(self, stages: list["Stage"]):
         state = {s.name: s.state for s in stages if s.state is not None}
@@ -118,6 +154,9 @@ class Stage:
 
     def process(self, block, session: Session):
         raise NotImplementedError
+
+    def finish(self, session: Session):
+        """Flush deferred work at stream end (optional)."""
 
 
 class SpectrumStage(Stage):
@@ -171,27 +210,58 @@ class TelemetryStage(Stage):
     """FUNcubeBPSKDemod + FECDecoder analog; publishes decoded frames.
 
     ``tunings``: optional list of per-instance NCO Hz — N demod tabs on
-    the same stream in one batched call (jsdr.java:479-484)."""
+    the same stream in one batched call (jsdr.java:479-484).
+    ``dofft`` / ``track_high``: optional per-instance bool lists (the
+    FUNcube<n>-bpsk-dofft / -upper keys, FUNcubeBPSKDemod.java:97-99);
+    a mixed set still runs as ONE batched call.
+
+    ``sync_every``: device results are read back (counters published,
+    frames decoded) only every N blocks — per-block ``np.asarray`` on
+    device values is a host<->device sync that serializes dispatch and
+    defeats the async overlap of host convert with device compute.
+    Frames arrive at worst N blocks late (they are ~4.33 s apart); a
+    final ``finish()`` flush drains the tail.
+    """
 
     name = "telemetry"
 
-    def __init__(self, cfg, tunings=None):
+    def __init__(self, cfg, tunings=None, dofft=None, track_high=None,
+                 sync_every: int = 4):
         from ..demod.bpsk import bpsk_init_batch
         self.cfg = cfg
         self.tunings = (None if tunings is None
                         else [float(t) for t in tunings])
         self.n = 1 if tunings is None else len(self.tunings)
+        self.dofft = None if dofft is None else [bool(v) for v in dofft]
+        self.track_high = (None if track_high is None
+                           else [bool(v) for v in track_high])
+        self.sync_every = max(1, int(sync_every))
         self.state = bpsk_init_batch(cfg, self.n)
+        self._pending = []              # un-synced device block outputs
+        self._n_blocks = 0
 
     def process(self, block, session: Session):
-        import numpy as np
         from ..demod.bpsk import bpsk_block_batch
-        from ..fec.decoder import fec_decode
         from ..ops.cplx import CF
         blocks = CF(jnp_broadcast(block.re, self.n),
                     jnp_broadcast(block.im, self.n))
         out, self.state = bpsk_block_batch(blocks, self.cfg, self.state,
-                                           self.tunings)
+                                           self.tunings, dofft=self.dofft,
+                                           track_high=self.track_high)
+        self._pending.append(out)
+        self._n_blocks += 1
+        if self._n_blocks % self.sync_every == 0:
+            self._drain(session)
+
+    def finish(self, session: Session):
+        self._drain(session)
+
+    def _drain(self, session: Session):
+        import numpy as np
+        from ..fec.decoder import fec_decode
+        pending, self._pending = self._pending, []
+        if not pending:
+            return
         tunings = self.tunings or [self.cfg.tuning]
         # live raw/ds/bit/sync counters, the reference's on-screen
         # instrumentation (FUNcubeBPSKDemod.java:219-228)
@@ -201,20 +271,23 @@ class TelemetryStage(Stage):
             {s: tuple(int(v) for v in c[s]) for s in range(self.n)})
         for s in range(self.n):
             session.pubsub.publish(f"FUNcube{s}-bpsk-tune", tunings[s])
-            n_hits = int(out.n_hits[s])
-            if not n_hits:
-                continue
-            res = fec_decode(out.windows[s, :n_hits])
-            for i in range(n_hits):
-                frame = {
-                    "demod": s,
-                    "tuning": tunings[s],
-                    "ok": bool(res.ok[i]),
-                    "corr": int(out.hit_corr[s, i]),
-                    "channel_errors": int(res.rc[i]),
-                    "payload": np.asarray(res.payload[i]),
-                }
-                session.pubsub.publish("telemetry-frame", frame)
+        for out in pending:
+            hits = np.asarray(out.n_hits)
+            for s in range(self.n):
+                n_hits = int(hits[s])
+                if not n_hits:
+                    continue
+                res = fec_decode(out.windows[s, :n_hits])
+                for i in range(n_hits):
+                    frame = {
+                        "demod": s,
+                        "tuning": tunings[s],
+                        "ok": bool(res.ok[i]),
+                        "corr": int(out.hit_corr[s, i]),
+                        "channel_errors": int(res.rc[i]),
+                        "payload": np.asarray(res.payload[i]),
+                    }
+                    session.pubsub.publish("telemetry-frame", frame)
 
 
 def jnp_broadcast(x, n: int):
@@ -267,8 +340,16 @@ class AudioSinkStage(Stage):
 
 
 class RecorderStage(Stage):
-    """recorder.java analog: append blocks to a raw S16LE capture file
-    while enabled; produces replayable fixtures."""
+    """recorder.java analog: append capture data to a raw S16LE file
+    while enabled; produces replayable fixtures.
+
+    In a raw-mode session (int16 source) the stage taps the
+    'raw-block' topic — the PRE-conversion bytes, so the recorded file
+    is byte-identical to the capture even with audio-ic/qc corrections
+    set (recorder.java is an IRawHandler fed before the short->float
+    convert, JavaAudio.java:261-265). In a complex-source session it
+    falls back to re-encoding the converted block (lossy round-trip
+    when corrections are nonzero)."""
 
     name = "recorder"
 
@@ -276,9 +357,16 @@ class RecorderStage(Stage):
         from ..io.recorder import RawRecorder
         self.rec = RawRecorder(path).open()
         self.enabled = enabled
+        self._last_raw = None
 
     def process(self, block, session: Session):
-        if self.enabled:
+        if not self.enabled:
+            return
+        raw = session.pubsub.get("raw-block")
+        if raw is not None and raw is not self._last_raw:
+            self.rec.write_raw(np.asarray(raw).astype("<i2").tobytes())
+            self._last_raw = raw
+        elif raw is None:
             iq = (np.asarray(block.re) + 1j * np.asarray(block.im)
                   ).astype(np.complex64)
             self.rec.write_iq(iq)

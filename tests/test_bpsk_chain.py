@@ -148,3 +148,61 @@ def test_parallel_timing_equals_scan(rng):
         assert int(oa.n_hits) == int(ob.n_hits)
     assert int(st_a.timing.peak) == int(st_b.timing.peak)
     assert int(st_a.timing.new_peak) == int(st_b.timing.new_peak)
+
+
+def test_mixed_dofft_batch_one_call(rng):
+    """Stream 0 manually tuned at 12 kHz and stream 1 FFT-auto-tuned (to
+    an 11.9 kHz carrier it was never told about) decode in ONE batched
+    call — per-instance FUNcube<n>-bpsk-dofft (FUNcubeBPSKDemod.java:
+    97-99, jsdr.java:479-484). Toggling flag VALUES must not recompile
+    within the mixed class."""
+    from jsdr_tpu.demod.bpsk import (_bpsk_block_batched, bpsk_block_batch,
+                                     bpsk_init_batch)
+
+    # the dofft stream reuses test_fft_tune_full_chain_decodes' known-
+    # good signal (the reference's box-average auto-tuner is sloppy by
+    # design — FUNcubeBPSKDemod.java:433-451 — and some payload draws
+    # land it ~300 Hz off, past the differential demod's tolerance; that
+    # marginality is the tuner's, not the batching's)
+    pay_b = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    pay_a = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    payloads = np.concatenate([pay_a, pay_b])
+    sig_a = synth_bpsk_stream(payloads[:1], rate=96000,
+                              carrier_offset=12000.0, preamble_bits=400)
+    sig_b = synth_bpsk_stream(payloads[1:], rate=96000,
+                              carrier_offset=11900.0, preamble_bits=400,
+                              seed=2)
+    n = max(len(sig_a), len(sig_b))
+    n += (-n) % 96000
+    iq = np.zeros((2, n), np.complex64)
+    iq[0, :len(sig_a)] = sig_a
+    iq[1, :len(sig_b)] = sig_b
+
+    cfg = BpskConfig(rate=96000)
+    states = bpsk_init_batch(cfg, 2)
+    dofft = [False, True]
+    good = [0, 0]
+    block = 96000
+    for b in range(n // block):
+        out, states = bpsk_block_batch(iq[:, b * block:(b + 1) * block],
+                                       cfg, states, np.asarray([12000, 0]),
+                                       dofft=dofft)
+        for s in range(2):
+            nh = int(out.n_hits[s])
+            if not nh:
+                continue
+            res = fec_decode(out.windows[s, :nh])
+            for i in range(nh):
+                if bool(res.ok[i]) and np.array_equal(
+                        np.asarray(res.payload[i]), payloads[s]):
+                    good[s] += 1
+    assert good == [1, 1]
+    # the auto stream locked near the carrier; the manual stream's
+    # fft-tuner state never advanced
+    assert int(states.fft_tuner.centre_bin[1]) == pytest.approx(1310, abs=15)
+    assert int(states.fft_tuner.centre_bin[0]) == 0
+    n_compiles = _bpsk_block_batched._cache_size()
+    bpsk_block_batch(iq[:, :block], cfg, bpsk_init_batch(cfg, 2),
+                     np.asarray([9000, 0]), dofft=[True, False],
+                     track_high=[False, True])
+    assert _bpsk_block_batched._cache_size() == n_compiles

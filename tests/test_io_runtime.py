@@ -329,3 +329,68 @@ def test_recorder_stage_roundtrip(tmp_path):
     # S16 quantization bound: 1/32767 per component
     np.testing.assert_allclose(back.real, iq[:4800].real, atol=1.01 / 32767)
     np.testing.assert_allclose(back.imag, iq[:4800].imag, atol=1.01 / 32767)
+
+
+def test_raw_session_device_convert_and_raw_record_tap(tmp_path, rng):
+    """Raw-mode Session: int16 chunks convert ON DEVICE with ic/qc
+    corrections (JavaAudio.java:275-293), the recorder taps the
+    PRE-conversion bytes (recorder.java:66-74 IRawHandler semantics) so
+    the recorded file is byte-identical to the capture even with
+    nonzero corrections — the round-trip the converted-tap path
+    provably breaks."""
+    from jsdr_tpu.io.sources import FileSource
+    from jsdr_tpu.runtime.executor import RecorderStage, Session, Stage
+
+    data = rng.integers(-32768, 32768, 2 * 4800, dtype=np.int16)
+    cap = tmp_path / "cap.raw"
+    cap.write_bytes(data.astype("<i2").tobytes())
+
+    src = FileSource(cap, rate=9600)
+    seen = []
+
+    class Probe(Stage):
+        name = "probe"
+
+        def process(self, block, session):
+            seen.append((np.asarray(block.re), np.asarray(block.im)))
+
+    rec = RecorderStage(tmp_path / "rec.raw")
+    session = Session(source=src.raw_blocks(960), block_samples=960,
+                      i_corr=2, q_corr=-5)
+    n = session.run([Probe(), rec])
+    rec.close()
+    assert n == 5
+    # recorded file == capture bytes exactly, despite ic/qc corrections
+    assert (tmp_path / "rec.raw").read_bytes() == cap.read_bytes()
+    # device-converted planes match the host converter WITH corrections
+    host = convert.s16le_to_complex(data, 2, 2, -5)
+    got = np.concatenate([r + 1j * q for r, q in seen]).astype(np.complex64)
+    assert np.array_equal(got, host.astype(np.complex64))
+
+
+def test_telemetry_sync_every_defers_readbacks(rng):
+    """TelemetryStage must NOT sync the device every block: counters
+    publish once per sync_every-block drain (+ the finish flush) and
+    frames still come out (at most sync_every blocks late)."""
+    from jsdr_tpu.demod.bpsk import BpskConfig
+    from jsdr_tpu.io.sources import synth_bpsk_stream
+    from jsdr_tpu.runtime.executor import Session, TelemetryStage
+
+    payload = np.arange(256, dtype=np.uint8)[None]
+    sig = synth_bpsk_stream(payload, rate=96000, preamble_bits=300)
+    sig = np.concatenate([sig, np.zeros((-len(sig)) % 96000, np.complex64)])
+    n_blocks = len(sig) // 96000
+
+    frames, counter_pubs = [], []
+    s = Session(source=iter([sig]), block_samples=96000)
+    s.pubsub.listen(lambda t, v: frames.append(v) if t == "telemetry-frame"
+                    else counter_pubs.append(v) if t == "telemetry-counters"
+                    else None)
+    stage = TelemetryStage(BpskConfig(rate=96000, tuning=12000.0),
+                           sync_every=3)
+    n = s.run([stage])
+    assert n == n_blocks
+    # drains: one per full 3-block group + the finish() flush
+    assert len(counter_pubs) == -(-n_blocks // 3)
+    assert len(frames) == 1 and frames[0]["ok"]
+    assert np.array_equal(frames[0]["payload"], payload[0])

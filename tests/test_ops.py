@@ -268,3 +268,89 @@ def test_peak_freq_no_int32_overflow():
     tone = synth_sine(n, 23456.0, rate, amplitude=0.5)
     res = spectrum_block(jnp.asarray(tone[None]), rate=rate, window=True)
     assert int(res.peak_freq[0]) == 23456
+
+
+def test_mix_decimate_mf_fused_matches_reference(rng):
+    """The fully fused front end (tuner mix + decimating FIR + VCO mix +
+    matched filter in one kernel) must match the staged reference
+    pipeline to fp-reassociation tolerance, including both carried
+    tails, on chunk-ragged lengths."""
+    import jax
+    import jax.numpy as jnp
+    from jsdr_tpu.demod.bpsk import (DM_FILTER, DS_FILTER,
+                                     HOWARD_FUDGE_FACTOR, _vco_mix,
+                                     _vco_pattern)
+    from jsdr_tpu.ops.cplx import CF, from_complex
+    from jsdr_tpu.ops.fir import fir_apply_streaming
+    from jsdr_tpu.ops.pallas_kernels import mix_decimate, mix_decimate_mf
+
+    s, t, m = 3, 12800 * 2 + 640, 10
+    sig = (0.3 * (rng.standard_normal((s, t))
+                  + 1j * rng.standard_normal((s, t)))).astype(np.complex64)
+    x = from_complex(sig)
+    ones = jnp.ones((s, 128), jnp.float32)
+    tail = CF(jnp.asarray(rng.standard_normal((s, 26)), jnp.float32),
+              jnp.asarray(rng.standard_normal((s, 26)), jnp.float32))
+    mft = CF(jnp.asarray(rng.standard_normal((s, 64)), jnp.float32),
+             jnp.asarray(rng.standard_normal((s, 64)), jnp.float32))
+    vco_idx = jnp.asarray([0, 3, 6], jnp.int32)
+    vcoc, vcos = _vco_pattern(vco_idx)
+    taps = DS_FILTER.astype(np.float32)
+
+    ds, tail_ref = mix_decimate(x, ones, ones, taps, m, tail,
+                                gain=HOWARD_FUDGE_FACTOR, use_pallas=False)
+
+    def stage(ds1, vi1, mft1):
+        bb, _ = _vco_mix(ds1, vi1)
+        return fir_apply_streaming(
+            bb, jnp.asarray(DM_FILTER.astype(np.float32)), mft1,
+            precision="bf16x3")
+
+    mf_ref, mft_ref = jax.vmap(stage)(ds, vco_idx, mft)
+
+    mf, tail_k, mft_k = mix_decimate_mf(
+        x, ones, ones, taps, m, tail, vcoc, vcos,
+        DM_FILTER.astype(np.float32), mft, gain=HOWARD_FUDGE_FACTOR,
+        use_pallas=True, interpret=True)
+    scale = float(np.abs(np.asarray(mf_ref.re)).max())
+    np.testing.assert_allclose(np.asarray(mf.re), np.asarray(mf_ref.re),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(mf.im), np.asarray(mf_ref.im),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(tail_k.re),
+                               np.asarray(tail_ref.re), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mft_k.re), np.asarray(mft_ref.re),
+                               atol=2e-5 * scale)
+    # CPU fallback path is the staged pipeline exactly
+    mf_f, _tf, _mf = mix_decimate_mf(
+        x, ones, ones, taps, m, tail, vcoc, vcos,
+        DM_FILTER.astype(np.float32), mft, gain=HOWARD_FUDGE_FACTOR,
+        use_pallas=False)
+    assert np.array_equal(np.asarray(mf_f.re), np.asarray(mf_ref.re))
+
+
+def test_spectrum_waterfall_matches_decimated_psd(rng):
+    """The waterfall-mode spectrum kernel must equal the full-PSD kernel
+    max-decimated in NATURAL bin order, with identical peaks."""
+    from jsdr_tpu.ops.cplx import from_complex
+    from jsdr_tpu.ops.pallas_kernels import (spectrum_fused,
+                                             spectrum_natural_order,
+                                             spectrum_waterfall,
+                                             waterfall_natural_order,
+                                             wf_group_for)
+
+    n = 9600
+    sig = (0.3 * (rng.standard_normal((8, n * 3))
+                  + 1j * rng.standard_normal((8, n * 3)))).astype(np.complex64)
+    iq = from_complex(sig)
+    psd, mx, idx = spectrum_fused(iq, n, with_peaks=True, interpret=True)
+    wf, mx2, idx2 = spectrum_waterfall(iq, n, interpret=True)
+    assert np.array_equal(np.asarray(mx), np.asarray(mx2))
+    assert np.array_equal(np.asarray(idx), np.asarray(idx2))
+    q = wf_group_for(n)
+    assert q == 5 and wf.shape == (3, 8, 15, 128)
+    nat = np.asarray(spectrum_natural_order(psd))     # [S, nblk, n]
+    ref = nat.reshape(8, 3, n // q, q).max(axis=-1)
+    got = np.asarray(waterfall_natural_order(wf))
+    assert np.array_equal(got, ref)
+    assert wf_group_for(19200) == 10                  # 192 kS/s FFT size

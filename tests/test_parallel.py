@@ -234,10 +234,22 @@ def test_tp_spectrum_matches_spectrum_block():
 # ---------------------------------------------------------------------------
 
 
-def test_pipelined_telemetry_matches_sequential(streams):
-    """2-stage pipeline (front end on rank 0, decode tail on rank 1,
-    GPipe microbatching over blocks) must reproduce the sequential chain
-    exactly, shifted by the one-block pipeline latency."""
+def _seq_reference(arr, cfg, block):
+    st = bpsk_init_batch(cfg, arr.shape[0])
+    seq = []
+    for b in range(arr.shape[1] // block):
+        o, st = bpsk_block_batch(arr[:, b * block:(b + 1) * block], cfg, st)
+        seq.append(o)
+    return seq, st
+
+
+@pytest.mark.parametrize("n_stages,dp", [(2, 1), (2, 2), (3, 1), (3, 2)])
+def test_pipelined_telemetry_matches_sequential(streams, n_stages, dp):
+    """The n-stage pipeline (front end / decode tail / optional FEC,
+    GPipe microbatching over blocks) composed with dp over streams must
+    reproduce the sequential chain exactly, shifted by the (n_stages-1)
+    block pipeline latency, on a pp x dp device mesh; the FEC stage must
+    decode the known payloads in-pipeline."""
     from jsdr_tpu.parallel.pipeline import (make_pp_mesh, pipeline_flush,
                                             pipeline_init,
                                             pipelined_telemetry)
@@ -246,40 +258,163 @@ def test_pipelined_telemetry_matches_sequential(streams):
     block = 96000
     n_mb = T // block
     blocks = arr.reshape(S, n_mb, block).swapaxes(0, 1)   # [n_mb, S, block]
+    lat = n_stages - 1
 
-    mesh = make_pp_mesh()
+    mesh = make_pp_mesh(n_stages, dp)
     cfg = BpskConfig(rate=96000, tuning=12000.0)
     run = pipelined_telemetry(mesh, rate=96000)
-    carry = pipeline_init(cfg, S, block)
+    carry = pipeline_init(cfg, S, block, n_stages)
     out, carry = run(blocks, carry)
     last, carry = pipeline_flush(run, carry, S, block)
 
-    st = bpsk_init_batch(cfg, S)
-    seq = []
-    for b in range(n_mb):
-        o, st = bpsk_block_batch(arr[:, b * block:(b + 1) * block], cfg, st)
-        seq.append(o)
+    seq, st = _seq_reference(arr, cfg, block)
 
-    assert np.all(np.asarray(out.n_hits)[0] == 0)      # prime tick empty
+    assert not np.any(np.asarray(out.valid)[:lat])     # prime ticks empty
+    assert np.all(np.asarray(out.telem.n_hits)[:lat] == 0)
     pipe = [jax.tree.map(lambda x: np.asarray(x[t]), out)
-            for t in range(1, n_mb)] + [jax.tree.map(np.asarray, last)]
+            for t in range(lat, n_mb)] \
+        + [jax.tree.map(lambda x: np.asarray(x[t]), last)
+           for t in range(lat)]
+    assert all(bool(p.valid) for p in pipe)
     for got, ref in zip(pipe, seq):
-        assert np.array_equal(got.n_bits, np.asarray(ref.n_bits))
-        assert np.array_equal(got.n_hits, np.asarray(ref.n_hits))
-        assert np.array_equal(got.windows, np.asarray(ref.windows))
-        assert np.array_equal(got.hit_corr, np.asarray(ref.hit_corr))
+        assert np.array_equal(got.telem.n_bits, np.asarray(ref.n_bits))
+        assert np.array_equal(got.telem.n_hits, np.asarray(ref.n_hits))
+        assert np.array_equal(got.telem.windows, np.asarray(ref.windows))
+        assert np.array_equal(got.telem.hit_corr, np.asarray(ref.hit_corr))
 
-    # rank 1's carried decode state has consumed every block
+    # the tail rank's carried decode state has consumed every block
     final_st = jax.tree.map(lambda x: np.asarray(x[1]), carry[1])
     assert np.array_equal(final_st.counters, np.asarray(st.counters))
     assert np.array_equal(final_st.ring, np.asarray(st.ring))
 
     # and the extracted frames decode to the known payloads
-    total_hits = sum(int(h) for o in pipe for h in o.n_hits)
+    total_hits = sum(int(h) for o in pipe for h in o.telem.n_hits)
     assert total_hits == 2
     for s_i in range(2):
-        wins = [o.windows[s_i, :o.n_hits[s_i]] for o in pipe
-                if o.n_hits[s_i]]
-        res = fec_decode(jnp.asarray(wins[0]))
+        hits = [(o, int(o.telem.n_hits[s_i])) for o in pipe
+                if o.telem.n_hits[s_i]]
+        o, nh = hits[0]
+        if n_stages == 3:
+            # FEC ran IN-pipeline on stage 2
+            assert bool(o.fec_ok[s_i, 0])
+            assert np.array_equal(o.fec_payload[s_i, 0], payloads[s_i])
+        res = fec_decode(jnp.asarray(o.telem.windows[s_i, :nh]))
         assert bool(res.ok[0])
         assert np.array_equal(np.asarray(res.payload[0]), payloads[s_i])
+
+
+def test_pipeline_flush_is_a_bubble_mid_stream(streams):
+    """Draining the pipeline mid-stream (bubble ticks) must not advance
+    any stage state: resuming with the remaining blocks yields outputs
+    bit-identical to an uninterrupted run."""
+    from jsdr_tpu.parallel.pipeline import (make_pp_mesh, pipeline_flush,
+                                            pipeline_init,
+                                            pipelined_telemetry)
+    arr, payloads = streams
+    S, T = arr.shape
+    block = 96000
+    n_mb = T // block
+    blocks = arr.reshape(S, n_mb, block).swapaxes(0, 1)
+
+    mesh = make_pp_mesh(2, 1)
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    run = pipelined_telemetry(mesh, rate=96000)
+
+    carry = pipeline_init(cfg, S, block, 2)
+    out_a, carry = run(blocks[:3], carry)
+    drained, carry = pipeline_flush(run, carry, S, block)  # mid-stream!
+    out_b, carry = run(blocks[3:], carry)
+    last, carry = pipeline_flush(run, carry, S, block)
+
+    seq, _ = _seq_reference(arr, cfg, block)
+    got = ([jax.tree.map(lambda x: np.asarray(x[t]), out_a)
+            for t in range(1, 3)]
+           + [jax.tree.map(lambda x: np.asarray(x[0]), drained)]
+           + [jax.tree.map(lambda x: np.asarray(x[t]), out_b)
+              for t in range(1, n_mb - 3)]
+           + [jax.tree.map(lambda x: np.asarray(x[0]), last)])
+    assert len(got) == n_mb
+    for g, ref in zip(got, seq):
+        assert bool(g.valid)
+        assert np.array_equal(g.telem.n_bits, np.asarray(ref.n_bits))
+        assert np.array_equal(g.telem.windows, np.asarray(ref.windows))
+
+
+@pytest.fixture(scope="module")
+def streams_192k():
+    """FCD V2 rate (192 kS/s, decim m=20 — jsdr.java:271-277): the other
+    halo geometry (ntaps-1=26 < m=20*? — the banded window spans change
+    with m, so the m=20 math must be exercised under shard_map too)."""
+    rng = np.random.default_rng(12)
+    payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+    t_len = 192000 * 6
+    s0 = synth_bpsk_stream(payloads[:1], rate=192000, preamble_bits=200,
+                           seed=5)
+    s1 = synth_bpsk_stream(payloads[1:], rate=192000, preamble_bits=300,
+                           seed=6)
+
+    def fit(x):
+        out = np.zeros(t_len, np.complex64)
+        out[:min(len(x), t_len)] = x[:t_len]
+        return out
+
+    return np.stack([fit(s0), fit(s1)]), payloads
+
+
+def test_sharded_192k_matches_single_device(streams_192k):
+    """dp x sp sharded step at 192 kS/s (m=20) must equal the
+    single-device chain bit-exactly and decode the frames."""
+    arr, payloads = streams_192k
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=192000, tuning=12000.0)
+    step = sharded_telemetry_step(mesh, rate=192000)
+    states = bpsk_init_batch(cfg, 2)
+    out, new_states = jax.block_until_ready(step(_put(mesh, arr), states))
+
+    for s in range(2):
+        st = bpsk_init(cfg)
+        ref, st = bpsk_block(jnp.asarray(arr[s]), cfg, st)
+        assert int(out.n_bits[s]) == int(ref.n_bits)
+        assert int(out.n_hits[s]) == int(ref.n_hits) == 1
+        assert np.array_equal(np.asarray(out.windows[s, 0]),
+                              np.asarray(ref.windows[0]))
+        assert np.array_equal(np.asarray(new_states.ring[s]),
+                              np.asarray(st.ring))
+    res = fec_decode(out.windows)
+    for s in range(2):
+        assert bool(res.ok[s, 0])
+        assert np.array_equal(np.asarray(res.payload[s, 0]), payloads[s])
+
+
+def test_pipelined_192k_matches_sequential(streams_192k):
+    """3-stage pipeline at 192 kS/s (m=20 front-end geometry) with
+    in-pipeline FEC."""
+    from jsdr_tpu.parallel.pipeline import (make_pp_mesh, pipeline_flush,
+                                            pipeline_init,
+                                            pipelined_telemetry)
+    arr, payloads = streams_192k
+    S, T = arr.shape
+    block = 192000
+    n_mb = T // block
+    blocks = arr.reshape(S, n_mb, block).swapaxes(0, 1)
+
+    mesh = make_pp_mesh(3, 1)
+    cfg = BpskConfig(rate=192000, tuning=12000.0)
+    run = pipelined_telemetry(mesh, rate=192000)
+    carry = pipeline_init(cfg, S, block, 3)
+    out, carry = run(blocks, carry)
+    last, carry = pipeline_flush(run, carry, S, block)
+
+    seq, st = _seq_reference(arr, cfg, block)
+    pipe = [jax.tree.map(lambda x: np.asarray(x[t]), out)
+            for t in range(2, n_mb)] \
+        + [jax.tree.map(lambda x: np.asarray(x[t]), last) for t in range(2)]
+    for got, ref in zip(pipe, seq):
+        assert np.array_equal(got.telem.n_bits, np.asarray(ref.n_bits))
+        assert np.array_equal(got.telem.windows, np.asarray(ref.windows))
+    oks = sum(int(p.fec_ok.sum()) for p in pipe)
+    assert oks == 2
+    for s_i in range(2):
+        for p in pipe:
+            if p.fec_ok[s_i].any():
+                assert np.array_equal(p.fec_payload[s_i, 0], payloads[s_i])
