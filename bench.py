@@ -1,10 +1,17 @@
 """Benchmark: IQ Msamples/s/chip through the FFT+FIR+BPSK telemetry chain.
 
 Measures the flagship pipeline on one chip: batched spectrum (windowed
-matmul FFT + PSD, fft.java analog) plus the full FUNcube telemetry front
-end (tuner mix -> 27-tap decimating FIR -> VCO + 65-tap matched filter ->
-parallel timing recovery -> stride-80 sync correlation -> soft-window
-extraction) over a batch of independent streams.
+matmul FFT + PSD -> display-decimated waterfall lines + exact peak
+search, fft.java + waterfall.java analog) plus the full FUNcube
+telemetry front end (tuner mix -> 27-tap decimating FIR -> VCO + 65-tap
+matched filter -> parallel timing recovery -> stride-80 sync correlation
+-> soft-window extraction) over a batch of independent streams. The
+spectrum and the front end run as ONE merged Pallas kernel reading the
+full-rate input from HBM once (bpsk_block_batch_spectrum); the spectrum
+emits what the display consumes — natural-order max-decimated dB lines
+(identical to decimating the full PSD; ops.pallas_kernels.
+spectrum_waterfall docstring) and the exact full-resolution peak — the
+full-PSD mode stays available for the fft-psd parity path.
 
 Methodology: the input batch is uploaded once and stays device-resident;
 the timed step consumes it end-to-end with every output forced (sums of
@@ -70,9 +77,10 @@ def bench_fec(log):
 
 def bench_ingest(log):
     """Ingest-path comparison: raw int16 upload + on-device planar convert
-    (io/convert_device.s16_to_cf) vs host-side convert + planar float32
-    upload. Device convert halves the transferred bytes and moves the
-    scale/DC loop onto the VPU."""
+    (io/convert_device.s16_to_cf — EXACTLY what the streaming Session's
+    raw-mode h2d stage runs, runtime/executor.py Session.run) vs
+    host-side convert + planar float32 upload. Device convert halves the
+    transferred bytes and moves the scale/DC loop onto the VPU."""
     import jax
     import jax.numpy as jnp
     from jsdr_tpu.io.convert import s16le_to_complex
@@ -90,7 +98,7 @@ def bench_ingest(log):
     import numpy as _np
     assert _np.array_equal(_np.asarray(dev.re), host_ref.real), \
         "device convert mismatch on TPU"
-    log(f"ingest: device convert verified on "
+    log(f"ingest (Session raw-mode h2d path): device convert verified on "
         f"{jax.devices()[0].platform} backend")
 
     iters = 3
@@ -119,11 +127,10 @@ def bench_192k(log):
     supports. Same methodology as the headline number."""
     import jax
     import jax.numpy as jnp
-    from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_block_batch, \
+    from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_block_batch_spectrum, \
         bpsk_init_batch
     from jsdr_tpu.io.sources import synth_bpsk_stream
     from jsdr_tpu.ops.cplx import from_complex
-    from jsdr_tpu.ops.spectrum import spectrum_wide
 
     # 64 streams x 10 s: the bpsk chain's scan stages need >=64 streams
     # to fill the VPU sublanes — 32x5s measured 1117 MS/s on the chain
@@ -142,10 +149,9 @@ def bench_192k(log):
 
     @jax.jit
     def step(iq, states):
-        spec = spectrum_wide(iq, rate // 10, rate=float(rate), window=True,
-                             natural=False)
-        out, new_states = bpsk_block_batch(iq, cfg, states)
-        forced = (spec.psd.sum() + out.windows.astype(jnp.int32).sum()
+        spec, out, new_states = bpsk_block_batch_spectrum(iq, cfg, states)
+        forced = (spec.wf.sum() + spec.peak_db.sum()
+                  + out.windows.astype(jnp.int32).sum()
                   + out.hit_corr.sum() + out.n_hits.sum() + out.n_bits.sum())
         return forced, out.n_hits.sum(), new_states
 
@@ -166,10 +172,10 @@ def bench_192k(log):
 def main():
     import jax
     import jax.numpy as jnp
-    from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_block_batch, bpsk_init_batch
+    from jsdr_tpu.demod.bpsk import (BpskConfig, bpsk_block_batch_spectrum,
+                                     bpsk_init_batch)
     from jsdr_tpu.io.sources import synth_bpsk_stream
-    from jsdr_tpu.ops.cplx import from_complex
-    from jsdr_tpu.ops.spectrum import spectrum_wide
+    from jsdr_tpu.ops.cplx import CF, from_complex
     from jsdr_tpu.runtime.tpu import ensure_tpu_ready
 
     dev = jax.devices()[0]
@@ -200,14 +206,12 @@ def main():
 
     @jax.jit
     def step(iq, states):
-        # fused Pallas spectrum straight off the wide stream layout;
-        # permuted frequency order (natural = n1*k2 + k1) — see
-        # ops.pallas_kernels.spectrum_fused
-        spec = spectrum_wide(iq, fft_n, rate=float(rate), window=True,
-                             natural=False)
-        out, new_states = bpsk_block_batch(iq, cfg, states)
+        # merged spectrum+front-end Pallas kernel: one HBM read of the
+        # input for both; waterfall lines + exact peaks out
+        spec, out, new_states = bpsk_block_batch_spectrum(iq, cfg, states)
         # force every output tensor (no DCE of the windows/sync path)
-        forced = (spec.psd.sum() + spec.peak_db.sum()
+        forced = (spec.wf.sum() + spec.peak_db.sum()
+                  + spec.peak_freq.sum()
                   + out.windows.astype(jnp.int32).sum()
                   + out.hit_corr.sum() + out.n_hits.sum() + out.n_bits.sum())
         return forced, out.n_hits.sum(), out.n_bits.sum(), new_states

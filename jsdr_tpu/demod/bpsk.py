@@ -116,6 +116,13 @@ class BpskConfig(NamedTuple):
     track_high: bool = False   # auto-tune searches the upper half-band
     compat_scan: bool = False  # per-sample lax.scan timing (exact-order
                                # fp parity) instead of the parallel path
+    fuse_mf: bool = False      # fold VCO+matched filter into the front-
+                               # end Pallas kernel. MEASURED SLOWER on
+                               # v5e at 64x10s (4.27 vs 3.65 ms — the
+                               # in-kernel relayouts cost more than the
+                               # XLA tail stages they replace), so off
+                               # by default; kept as a knob for shapes
+                               # where the extra HBM pass dominates
 
     @property
     def decim(self) -> int:
@@ -773,11 +780,13 @@ def _front_manual(iq, states: BpskState, tunings, *, rate: int,
 
 @partial(jax.jit, static_argnames=("rate", "mix_mode", "static_tunings",
                                    "max_hits", "compat_scan",
-                                   "use_pallas"))
+                                   "use_pallas", "cfg_fuse_mf"))
 def _bpsk_block_batched(iq, states: BpskState, tunings, dofft, track_high,
                         *, rate: int, mix_mode: str, static_tunings,
                         max_hits: int, compat_scan: bool,
-                        use_pallas: bool) -> Tuple[BpskBlockOut, BpskState]:
+                        use_pallas: bool,
+                        cfg_fuse_mf: bool = False
+                        ) -> Tuple[BpskBlockOut, BpskState]:
     """Batched telemetry chain over [S, T] stream rows with per-stream
     TRACED tunings [S] int32 (the N-tab analog, jsdr.java:479-484) and
     per-stream TRACED dofft/track_high [S] bool (the per-tab
@@ -799,11 +808,12 @@ def _bpsk_block_batched(iq, states: BpskState, tunings, dofft, track_high,
         f"block length {t_len} must be a multiple of 8*decim = {8 * m} "
         "(timing recovery groups the decimated stream into whole "
         "8-sample bit periods)")
-    # the VCO + matched filter fuse into the front-end Pallas kernel
-    # (one HBM read of the input, the decimated stream never written)
-    # whenever every involved front end goes through mix_decimate;
-    # compat_scan keeps the XLA-exact legacy path for parity work
-    fuse_mf = (use_pallas and not compat_scan
+    # the VCO + matched filter CAN fuse into the front-end Pallas kernel
+    # (one HBM read of the input, the decimated stream never written) —
+    # opt-in via BpskConfig.fuse_mf (see its docstring: measured slower
+    # on v5e at the bench shapes); requires every involved front end to
+    # go through mix_decimate and the non-compat timing path
+    fuse_mf = (cfg_fuse_mf and use_pallas and not compat_scan
                and mix_mode in ("dofft", "pattern", "mixed:pattern"))
     if mix_mode == "dofft":
         x, ds_tail, mf_tail, tu_phase, ft_state = _front_dofft(
@@ -861,6 +871,95 @@ def bpsk_block(iq, cfg: BpskConfig, state: BpskState,
                                        cfg, states, tunings)
     take0 = lambda x: x[0]
     return jax.tree.map(take0, out), jax.tree.map(take0, new_states)
+
+
+class WaterfallOut(NamedTuple):
+    wf: jnp.ndarray         # [T//n, S, G, 128] dB max-decimated lines
+    peak_freq: jnp.ndarray  # [S, T//n] Hz (signed, reference truncation)
+    peak_db: jnp.ndarray    # [S, T//n]
+
+
+@partial(jax.jit, static_argnames=("rate", "window", "max_hits",
+                                   "compat_scan", "use_pallas"))
+def _bpsk_spectrum_batched(iq, states: BpskState, tunings, *, rate: int,
+                           window: bool, max_hits: int, compat_scan: bool,
+                           use_pallas: bool):
+    from ..ops.pallas_kernels import spectrum_front_fused
+    from ..ops.spectrum import bin_to_hz
+
+    m = rate // DOWN_SAMPLE_RATE
+    n = rate // 10
+    s, t_len = iq.shape
+    cos_pat, sin_pat = _nco_pattern(states.tu_phase, tunings, rate)
+    wf, mx, idx, ds, ds_tail = spectrum_front_fused(
+        iq, n, cos_pat, sin_pat, DS_FILTER.astype(np.float32), m,
+        states.ds_tail, gain=HOWARD_FUDGE_FACTOR, window=window,
+        use_pallas=use_pallas,
+        precision="highest" if compat_scan else "bf16x3")
+    tu_phase = _nco_advance(states.tu_phase, tunings, rate, t_len)
+    post = partial(_bpsk_post, t_len=t_len, max_hits=max_hits,
+                   compat_scan=compat_scan)
+    out, new_states = jax.vmap(post)(ds, states, tu_phase, ds_tail,
+                                     states.fft_tuner)
+    n1 = n // 128
+    k_nat = n1 * (idx % 128) + idx // 128
+    signed = jnp.where(k_nat < n // 2, k_nat, k_nat - n)
+    freq = bin_to_hz(signed, rate, n).astype(jnp.int32)
+    spec = WaterfallOut(wf, jnp.swapaxes(freq, 0, 1),
+                        jnp.swapaxes(mx, 0, 1))
+    return spec, out, new_states
+
+
+def bpsk_block_batch_spectrum(iq, cfg: BpskConfig, states: BpskState,
+                              tunings=None, window: bool = True,
+                              use_pallas: bool | None = None):
+    """Batched telemetry chain PLUS the display spectrum in one step,
+    reading the full-rate input from HBM ONCE (the merged Pallas kernel
+    ops.pallas_kernels.spectrum_front_fused): the flagship per-step call
+    of a deployment that renders a waterfall while decoding (the
+    reference runs fft.java and FUNcubeBPSKDemod.java side by side on
+    every block).
+
+    Returns (WaterfallOut, BpskBlockOut, new_states). Eligible when all
+    streams are manual-tuned with 128-lane-periodic integral tunings and
+    T % (4*rate/10) == 0; otherwise falls back to the staged
+    spectrum_waterfall + bpsk_block_batch pair (same results, one extra
+    input read).
+    """
+    from ..ops.pallas_kernels import spectrum_waterfall
+    from ..ops.spectrum import bin_to_hz
+
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    iq = as_cf(iq)
+    s, t_len = iq.shape
+    n = cfg.rate // 10
+    if tunings is None:
+        tunings = np.full(s, cfg.tuning, np.float64)
+    tun_np = np.asarray(tunings, np.float64).reshape(-1)
+    eligible = (not cfg.dofft and not cfg.fuse_mf
+                and t_len % (4 * n) == 0
+                and np.all(tun_np == np.round(tun_np))
+                and pattern_mix_ok(tun_np, cfg.rate)
+                and t_len % (8 * cfg.decim) == 0)
+    if eligible:
+        tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
+        return _bpsk_spectrum_batched(
+            iq, states, tun_arr, rate=cfg.rate, window=window,
+            max_hits=cfg.max_hits_per_block, compat_scan=cfg.compat_scan,
+            use_pallas=bool(use_pallas))
+    # staged fallback (two input reads)
+    wf, mx, idx = spectrum_waterfall(iq, n, window=window,
+                                     interpret=jax.devices()[0].platform
+                                     == "cpu")
+    n1 = n // 128
+    k_nat = n1 * (idx % 128) + idx // 128
+    signed = jnp.where(k_nat < n // 2, k_nat, k_nat - n)
+    freq = bin_to_hz(signed, cfg.rate, n).astype(jnp.int32)
+    spec = WaterfallOut(wf, jnp.swapaxes(freq, 0, 1), jnp.swapaxes(mx, 0, 1))
+    out, new_states = bpsk_block_batch(iq, cfg, states, tunings,
+                                       use_pallas=use_pallas)
+    return spec, out, new_states
 
 
 def bpsk_init_batch(cfg: BpskConfig, n_streams: int) -> BpskState:
@@ -922,4 +1021,4 @@ def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
         iq, states, tun_arr, dofft_np, th_np, rate=cfg.rate,
         mix_mode=mix_mode, static_tunings=static_tunings,
         max_hits=cfg.max_hits_per_block, compat_scan=cfg.compat_scan,
-        use_pallas=bool(use_pallas))
+        use_pallas=bool(use_pallas), cfg_fuse_mf=cfg.fuse_mf)

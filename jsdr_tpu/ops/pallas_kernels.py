@@ -171,86 +171,94 @@ def _make_spec_dot(precision: str):
     return dot
 
 
-def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
-                           twr, twi, w2r, w2i, w2s1, w2s2,
-                           psd_ref, mx_ref, idx_ref, *, n1: int, n2: int,
-                           precision: str = "highest", wf_group: int = 0):
+def _spec_row(ar, ai, w1r, w1i, w1s1, w1s2, twr, twi,
+              w2r, w2i, w2s1, w2s2, *, n1: int, n2: int,
+              precision: str, wf_group: int):
+    """One row's two-stage matmul FFT + PSD reduction (shared by the
+    spectrum-only and the merged spectrum+front-end kernels).
+
+    ar/ai: [n1, n2] row views, already windowed and lane-split by the
+    caller (the [rows, n] -> [rows, n1, n2] lane split at the 128
+    boundary is the Mosaic-supported relayout; a flat [n] -> [n1, n2]
+    cast is NOT). Returns (psd_or_dec, mx, cand) where psd_or_dec is the
+    [n1, n2] dB PSD (wf_group=0) or the [n1//wf_group, n2] natural-order
+    max-decimated dB line, mx the peak (dB), cand the per-lane
+    flat-index candidates (min = argmax)."""
     import jax.lax as lax
 
     n = n1 * n2
     dot = _make_spec_dot(precision)
     karatsuba = precision == "bf16x3"
     cf = np.float32((2.0 / n) ** 2)
-    # lane -> (sublane, lane) split at the 128 boundary is a supported
-    # Mosaic relayout; transpose+flatten back to natural frequency order
-    # is NOT, so the PSD is emitted in [k1, k2] (permuted) order and
+    # the PSD is emitted in [k1, k2] (permuted) order — transpose+flatten
+    # back to natural frequency order is not a supported Mosaic relayout;
     # callers recover natural indices as n1*k2 + k1.
+    dn = (((1,), (1,)), ((), ()))
+    if karatsuba:
+        # complex matmul with THREE real products (host-precomputed
+        # W sums): re = T0 - (Wr+Wi)@Ai, im = T0 + (Wi-Wr)@Ar with
+        # T0 = Wr@(Ar+Ai) — 25% fewer MXU passes than the 4-product
+        # form; cancellation error stays under the display budget
+        # (measured, see spectrum_fused docstring)
+        t0 = dot(w1r, ar + ai)
+        br = t0 - dot(w1s1, ai)
+        bi = t0 + dot(w1s2, ar)
+    else:
+        # stage 1: B = W1 @ A   [n1, n1] @ [n1, n2]
+        br = dot(w1r, ar) - dot(w1i, ai)
+        bi = dot(w1r, ai) + dot(w1i, ar)
+    # twiddle [k1, n2]
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    # stage 2: D[k1, k2] = sum_n2 C[k1, n2] W2[k2, n2]
+    if karatsuba:
+        t0 = dot(cr + ci, w2r, dn)
+        dr = t0 - dot(ci, w2s1, dn)
+        di = t0 + dot(cr, w2s2, dn)
+    else:
+        dr = dot(cr, w2r, dn) - dot(ci, w2i, dn)
+        di = dot(cr, w2i, dn) + dot(ci, w2r, dn)
+    power = (dr * dr + di * di) * cf
+    if wf_group:
+        # waterfall mode: natural-order max-decimation WITHOUT a
+        # transpose (natural bin = n1*k2 + k1 — a sublane-group max IS
+        # a natural-order decimation) and everything reduces on raw
+        # POWER: log10 is monotone, so log(max) == max(log) exactly and
+        # the transcendental count drops by the decimation factor.
+        g = n1 // wf_group
+        dec = jnp.max(power.reshape(g, wf_group, n2), axis=1)
+        out = 10.0 * jnp.log10(jnp.maximum(dec, _EPS))
+        peak_src = power
+    else:
+        out = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
+        peak_src = out
+    # fused peak search: per-column first argmax, then the minimum flat
+    # permuted index among columns that reach the global max — identical
+    # values and tie-break to jnp.argmax over the flat PSD
+    col_max = jnp.max(peak_src, axis=0)                      # [n2]
+    col_arg = jnp.argmax(peak_src, axis=0).astype(jnp.int32)  # first k1
+    mx_raw = jnp.max(col_max)
+    mx = (10.0 * jnp.log10(jnp.maximum(mx_raw, _EPS)) if wf_group
+          else mx_raw)
+    lane = lax.broadcasted_iota(jnp.int32, (1, n2), 1)[0]
+    cand = jnp.where(col_max == mx_raw, col_arg * n2 + lane,
+                     jnp.int32(n1 * n2))
+    return out, mx, cand
+
+
+def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
+                           twr, twi, w2r, w2i, w2s1, w2s2,
+                           psd_ref, mx_ref, idx_ref, *, n1: int, n2: int,
+                           precision: str = "highest", wf_group: int = 0):
     a3r = (x_re[...] * win[...]).reshape(_SPEC_ROWS, n1, n2)
     a3i = (x_im[...] * win[...]).reshape(_SPEC_ROWS, n1, n2)
-    dn = (((1,), (1,)), ((), ()))
     for r in range(_SPEC_ROWS):
-        ar = a3r[r]
-        ai = a3i[r]
-        if karatsuba:
-            # complex matmul with THREE real products (host-precomputed
-            # W sums): re = T0 - (Wr+Wi)@Ai, im = T0 + (Wi-Wr)@Ar with
-            # T0 = Wr@(Ar+Ai) — 25% fewer MXU passes than the 4-product
-            # form; cancellation error stays under the display budget
-            # (measured, see spectrum_fused docstring)
-            t0 = dot(w1r[...], ar + ai)
-            br = t0 - dot(w1s1[...], ai)
-            bi = t0 + dot(w1s2[...], ar)
-        else:
-            # stage 1: B = W1 @ A   [n1, n1] @ [n1, n2]
-            br = dot(w1r[...], ar) - dot(w1i[...], ai)
-            bi = dot(w1r[...], ai) + dot(w1i[...], ar)
-        # twiddle [k1, n2]
-        cr = br * twr[...] - bi * twi[...]
-        ci = br * twi[...] + bi * twr[...]
-        # stage 2: D[k1, k2] = sum_n2 C[k1, n2] W2[k2, n2]
-        if karatsuba:
-            t0 = dot(cr + ci, w2r[...], dn)
-            dr = t0 - dot(ci, w2s1[...], dn)
-            di = t0 + dot(cr, w2s2[...], dn)
-        else:
-            dr = dot(cr, w2r[...], dn) - dot(ci, w2i[...], dn)
-            di = dot(cr, w2i[...], dn) + dot(ci, w2r[...], dn)
-        power = (dr * dr + di * di) * cf
-        if wf_group:
-            # waterfall mode: natural-order max-decimation WITHOUT a
-            # transpose. Natural bin = n1*k2 + k1, so a run of wf_group
-            # consecutive k1 at fixed k2 is wf_group CONSECUTIVE natural
-            # bins — a sublane-group max IS a natural-order decimation
-            # (display pixel p = (n1//wf_group)*k2 + g). 5x fewer HBM
-            # bytes than the full PSD (which the display would decimate
-            # anyway, waterfall.java:90-107). Everything reduces on raw
-            # POWER and the log runs on the wf_group-times-smaller
-            # decimated line only: log10 is monotone, so
-            # log(max(p)) == max(log(p)) exactly and the transcendental
-            # count drops by the decimation factor (the log10 over all
-            # 9600 bins was a dominant VPU cost of the kernel).
-            g = n1 // wf_group
-            dec = jnp.max(power.reshape(g, wf_group, n2), axis=1)
-            psd_ref[0, r] = 10.0 * jnp.log10(jnp.maximum(dec, _EPS))
-            peak_src = power
-        else:
-            db = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
-            psd_ref[0, r] = db
-            peak_src = db
-        # fused peak search: the PSD never needs a second HBM pass.
-        # flat permuted index k1*n2 + k2 with jnp.argmax's exact
-        # first-occurrence tie-break: per-column first argmax, then the
-        # minimum flat index among columns that reach the global max.
-        # (waterfall mode searches on power — same argmax and, after the
-        # scalar log below, the same dB value, by monotonicity)
-        col_max = jnp.max(peak_src, axis=0)                      # [n2]
-        col_arg = jnp.argmax(peak_src, axis=0).astype(jnp.int32)  # first k1
-        mx_raw = jnp.max(col_max)
-        mx = (10.0 * jnp.log10(jnp.maximum(mx_raw, _EPS)) if wf_group
-              else mx_raw)
-        lane = lax.broadcasted_iota(jnp.int32, (1, n2), 1)[0]
-        cand = jnp.where(col_max == mx_raw, col_arg * n2 + lane,
-                         jnp.int32(n1 * n2))
+        out, mx, cand = _spec_row(
+            a3r[r], a3i[r], w1r[...], w1i[...], w1s1[...],
+            w1s2[...], twr[...], twi[...], w2r[...], w2i[...], w2s1[...],
+            w2s2[...], n1=n1, n2=n2, precision=precision,
+            wf_group=wf_group)
+        psd_ref[0, r] = out
         # scalar results broadcast across a 128-lane output row (Mosaic
         # requires 128-divisible output lanes); callers read lane 0
         mx_ref[0, r] = jnp.full((128,), mx, jnp.float32)
@@ -602,6 +610,234 @@ def _mix_decimate_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
 
 
 # ---------------------------------------------------------------------------
+# Merged spectrum + telemetry front end: ONE pass over the raw input.
+#
+# The flagship step runs BOTH the display spectrum (fft.java work) and
+# the telemetry front end (FUNcubeBPSKDemod mix+decimate) over the same
+# full-rate stream; as separate kernels each reads the whole input from
+# HBM (~0.9 ms per pass at the bench shapes). This kernel computes both
+# from one VMEM residency. The chunk geometry lines up at EVERY decim
+# factor m: the FFT block is rate/10 = 960*m samples and the decimation
+# sub-chunk is 1280*m, so LCM = 3840*m = 4 FFT blocks = 3 sub-chunks.
+# ---------------------------------------------------------------------------
+
+_SF_BLOCKS = 4        # FFT blocks per grid step
+_SF_SUBCH = 3         # decimation sub-chunks per grid step
+
+
+def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
+                       win, w1r, w1i, w1s1, w1s2, twr, twi,
+                       w2r, w2i, w2s1, w2s2, tap_ref,
+                       wf_ref, mx_ref, idx_ref, or_ref, oi_ref,
+                       tlr_ref, tli_ref, hr_ref, hi_ref, *,
+                       m: int, n1: int, n2: int, nb: int,
+                       precision: str, wf_group: int):
+    from jax.experimental import pallas as pl
+
+    n = n1 * n2
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        hr_ref[...] = t0r_ref[...]
+        hi_ref[...] = t0i_ref[...]
+
+    # ---- spectrum over the raw rows, one FFT block at a time (the
+    # [rows, n] -> [rows, n1, n2] lane split is the supported cast)
+    for b in range(_SF_BLOCKS):
+        a3r = (xr_ref[:, b * n:(b + 1) * n] * win[...]).reshape(
+            _SPEC_ROWS, n1, n2)
+        a3i = (xi_ref[:, b * n:(b + 1) * n] * win[...]).reshape(
+            _SPEC_ROWS, n1, n2)
+        for r in range(_SPEC_ROWS):
+            out, mx, cand = _spec_row(
+                a3r[r], a3i[r], w1r[...], w1i[...], w1s1[...], w1s2[...],
+                twr[...], twi[...], w2r[...], w2i[...], w2s1[...],
+                w2s2[...], n1=n1, n2=n2, precision=precision,
+                wf_group=wf_group)
+            wf_ref[b, r] = out
+            mx_ref[b, r] = jnp.full((128,), mx, jnp.float32)
+            idx_ref[b, r] = jnp.full((128,), jnp.min(cand), jnp.int32)
+
+    # ---- tuner mix + decimating FIR (same math as _mix_decimate_kernel,
+    # whole chunks only: the wrapper pads T to the 3840*m geometry)
+    wp = xr_ref.shape[-1]
+    x3r = xr_ref[...].reshape(_SPEC_ROWS, wp // 128, 128)
+    x3i = xi_ref[...].reshape(_SPEC_ROWS, wp // 128, 128)
+    mr = (x3r * cos_ref[...][:, None, :]).reshape(_SPEC_ROWS, wp)
+    mi = (x3i * sin_ref[...][:, None, :]).reshape(_SPEC_ROWS, wp)
+    wr = jnp.concatenate([hr_ref[...], mr], axis=1)
+    wi = jnp.concatenate([hi_ref[...], mi], axis=1)
+    span = 128 * (m + 1)
+    dot = _make_spec_dot(precision)
+    k_tiles = _MD_CHUNK_OUT // 128
+    for k3 in range(_SF_SUBCH):
+        base = k_tiles * k3
+        parts = [wr[:, 128 * m * (base + k): 128 * m * (base + k) + span]
+                 for k in range(k_tiles)]
+        parts += [wi[:, 128 * m * (base + k): 128 * m * (base + k) + span]
+                  for k in range(k_tiles)]
+        wall = jnp.concatenate(parts, axis=0)           # [2K*8, span]
+        y = dot(wall, tap_ref[...])                     # [2K*8, 128]
+        y4 = y.reshape(2, k_tiles, _SPEC_ROWS, 128)
+        sl = slice(_MD_CHUNK_OUT * k3, _MD_CHUNK_OUT * (k3 + 1))
+        or_ref[:, sl] = jnp.moveaxis(y4[0], 0, 1).reshape(
+            _SPEC_ROWS, _MD_CHUNK_OUT)
+        oi_ref[:, sl] = jnp.moveaxis(y4[1], 0, 1).reshape(
+            _SPEC_ROWS, _MD_CHUNK_OUT)
+    # hand the chunk's last 128 mixed samples to the next grid step
+    hr_ref[...] = wr[:, wp:wp + 128]
+    hi_ref[...] = wi[:, wp:wp + 128]
+
+    @pl.when(j == nb - 1)
+    def _():
+        tlr_ref[...] = wr[:, wp:wp + 128]
+        tli_ref[...] = wi[:, wp:wp + 128]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "gain", "window",
+                                             "use_pallas", "interpret",
+                                             "precision", "wf_group"))
+def _spec_front_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
+                    n, m, gain, window, use_pallas, interpret, precision,
+                    wf_group):
+    if not use_pallas and not interpret:
+        # staged fallback: interpreted spectrum kernel + jnp front end
+        wf, mx, idx = _spectrum_fused_jit(xr, xi, n, window, True,
+                                          precision, wf_group)
+        y, new_tail = _mix_decimate_ref(
+            CF(xr, xi), cos_pat, sin_pat, taps, m, CF(tail_r, tail_i), gain)
+        return wf, mx, idx, y.re, y.im, new_tail.re, new_tail.im
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .mxu_fft import _dft_mats, _twiddles
+    from .windows import hamming_np
+
+    s, t = xr.shape
+    n2 = 128
+    n1 = n // n2
+    chunk = _SF_BLOCKS * n
+    assert chunk == _SF_SUBCH * _MD_CHUNK_OUT * m
+    nb = t // chunk
+    nblk = t // n
+    w1r, w1i = _dft_mats(n1, -1.0)
+    twr, twi = _twiddles(n1, n2, -1.0)
+    w2r, w2i = _dft_mats(n2, -1.0)
+    w1s1 = (w1r.astype(np.float64) + w1i.astype(np.float64)).astype(np.float32)
+    w1s2 = (w1i.astype(np.float64) - w1r.astype(np.float64)).astype(np.float32)
+    w2s1 = (w2r.astype(np.float64) + w2i.astype(np.float64)).astype(np.float32)
+    w2s2 = (w2i.astype(np.float64) - w2r.astype(np.float64)).astype(np.float32)
+    win = (hamming_np(n) if window else np.ones(n)).astype(np.float32)
+    ntaps = taps.shape[0]
+
+    rows = _SPEC_ROWS
+    pad_s = -s % rows
+    if pad_s:
+        zr = jnp.zeros((pad_s, t), xr.dtype)
+        xr, xi = jnp.concatenate([xr, zr]), jnp.concatenate([xi, zr])
+        zp = jnp.zeros((pad_s, 128), xr.dtype)
+        cos_pat = jnp.concatenate([cos_pat, zp])
+        sin_pat = jnp.concatenate([sin_pat, zp])
+        zt = jnp.zeros((pad_s, ntaps - 1), xr.dtype)
+        tail_r = jnp.concatenate([tail_r, zt])
+        tail_i = jnp.concatenate([tail_i, zt])
+    sp = s + pad_s
+    t0r = jnp.pad(tail_r, ((0, 0), (128 - (ntaps - 1), 0)))
+    t0i = jnp.pad(tail_i, ((0, 0), (128 - (ntaps - 1), 0)))
+
+    g_out = n1 // wf_group if wf_group else n1
+    const = lambda z: pl.BlockSpec(z.shape, lambda i, j: (0,) * z.ndim,
+                                   memory_space=pltpu.VMEM)
+    consts = [jnp.asarray(win[None, :])] + [
+        jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
+                                 w2r, w2i, w2s1, w2s2)]
+    row128 = lambda: pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    kernel = functools.partial(_spec_front_kernel, m=m, n1=n1, n2=n2,
+                               nb=nb, precision=precision,
+                               wf_group=wf_group)
+    wf, mx, idx, yr, yi, tlr, tli = pl.pallas_call(
+        kernel,
+        grid=(sp // rows, nb),
+        in_specs=[
+            pl.BlockSpec((rows, chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            row128(), row128(), row128(), row128(),
+        ] + [const(z) for z in consts] + [
+            pl.BlockSpec(tapmat.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_SF_BLOCKS, rows, g_out, n2),
+                         lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SF_BLOCKS, rows, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SF_BLOCKS, rows, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _SF_SUBCH * _MD_CHUNK_OUT),
+                         lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _SF_SUBCH * _MD_CHUNK_OUT),
+                         lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            row128(), row128(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, sp, g_out, n2), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, sp, 128), jnp.int32),
+            jax.ShapeDtypeStruct((sp, t // m), jnp.float32),
+            jax.ShapeDtypeStruct((sp, t // m), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32),
+                        pltpu.VMEM((rows, 128), jnp.float32)],
+        interpret=interpret,
+    )(xr, xi, t0r, t0i, cos_pat, sin_pat, *consts, tapmat)
+    return (wf[:, :s], mx[:, :s, 0], idx[:, :s, 0], yr[:s], yi[:s],
+            tlr[:s, 128 - (ntaps - 1):], tli[:s, 128 - (ntaps - 1):])
+
+
+def spectrum_front_fused(iq: CF, n: int, cos_pat, sin_pat, taps, m: int,
+                         tail: CF, gain: float = 1.0, window: bool = True,
+                         use_pallas: bool | None = None,
+                         interpret: bool = False,
+                         precision: str = "bf16x3",
+                         max_width: int = 2048):
+    """Merged waterfall-spectrum + tuner-mix + decimating-FIR over [S, T]
+    stream rows — ONE HBM read of the full-rate input for both consumers.
+
+    Requires T to be a multiple of 4*n (= 3 decimation sub-chunks; n
+    must be 10*1280*m/... — callers use n = rate//10 with m = rate//9600,
+    which always lines up). Returns (wf [T//n, S, G, 128] dB decimated
+    lines — see :func:`spectrum_waterfall` for the layout/identities —
+    peak_db [T//n, S], flat permuted argmax [T//n, S] i32,
+    ds CF [S, T//m], new_tail CF [S, ntaps-1]).
+    """
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    elif use_pallas and jax.devices()[0].platform == "cpu":
+        interpret = True
+    s, t = iq.shape
+    assert t % (_SF_BLOCKS * n) == 0, (
+        f"T must be a multiple of {_SF_BLOCKS * n} (4 FFT blocks = "
+        "3 decimation sub-chunks)")
+    assert n % 128 == 0 and n // 128 <= 512
+    q = wf_group_for(n, max_width)
+    taps_np = np.asarray(taps, np.float32)
+    tapmat = jnp.asarray(_dec_tapmat(taps_np, m, float(gain)))
+    wf, mx, idx, yr, yi, tr, ti = _spec_front_jit(
+        iq.re.astype(jnp.float32), iq.im.astype(jnp.float32),
+        cos_pat, sin_pat, jnp.asarray(taps_np), tapmat, tail.re, tail.im,
+        n, m, float(gain), window, use_pallas, interpret, precision, q)
+    return wf, mx, idx, CF(yr, yi), CF(tr, ti)
+
+
+# ---------------------------------------------------------------------------
 # Fully fused telemetry front end: tuner mix + decimating FIR + VCO mix +
 # matched filter in ONE kernel.
 #
@@ -805,6 +1041,8 @@ def mix_decimate_mf(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
+    elif use_pallas and jax.devices()[0].platform == "cpu":
+        interpret = True      # kernel path requested on CPU -> interpret
     s, t = iq.shape
     assert t % m == 0
     taps_np = np.asarray(taps, np.float32)
@@ -839,6 +1077,8 @@ def mix_decimate(iq: CF, cos_pat, sin_pat, taps, m: int, tail: CF,
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
+    elif use_pallas and jax.devices()[0].platform == "cpu":
+        interpret = True      # kernel path requested on CPU -> interpret
     s, t = iq.shape
     assert t % m == 0
     taps_np = np.asarray(taps, np.float32)

@@ -290,6 +290,50 @@ class TelemetryStage(Stage):
                     session.pubsub.publish("telemetry-frame", frame)
 
 
+class SpectrumTelemetryStage(TelemetryStage):
+    """Spectrum + telemetry in ONE device step reading the input once
+    (demod.bpsk.bpsk_block_batch_spectrum / the merged Pallas kernel):
+    the fft.java + FUNcubeBPSKDemod.java pair of every reference block,
+    as a single-pass production stage. Publishes 'waterfall-line'
+    (dB-decimated natural-order lines) and 'fft-peak' alongside the
+    telemetry topics. Falls back to the staged pair automatically when
+    the block/tuning geometry is not eligible (see the fused fn)."""
+
+    name = "spectrum-telemetry"
+
+    def __init__(self, cfg, tunings=None, window: bool = True,
+                 sync_every: int = 4):
+        super().__init__(cfg, tunings, sync_every=sync_every)
+        self.window = window
+
+    def process(self, block, session: Session):
+        from ..demod.bpsk import bpsk_block_batch_spectrum
+        from ..ops.cplx import CF
+        blocks = CF(jnp_broadcast(block.re, self.n),
+                    jnp_broadcast(block.im, self.n))
+        spec, out, self.state = bpsk_block_batch_spectrum(
+            blocks, self.cfg, self.state, self.tunings, window=self.window)
+        self._pending.append(out)
+        self._spec = spec
+        self._n_blocks += 1
+        if self._n_blocks % self.sync_every == 0:
+            self._drain(session)
+
+    def _drain(self, session: Session):
+        import numpy as np
+        from ..ops.pallas_kernels import waterfall_natural_order
+        spec = getattr(self, "_spec", None)
+        if spec is not None:
+            self._spec = None
+            # stream 0's lines/peak (instances share the input stream)
+            lines = np.asarray(waterfall_natural_order(spec.wf))[0]
+            session.pubsub.publish("waterfall-line", lines)
+            session.pubsub.publish(
+                "fft-peak", (int(np.asarray(spec.peak_freq)[0, -1]),
+                             float(np.asarray(spec.peak_db)[0, -1])))
+        super()._drain(session)
+
+
 def jnp_broadcast(x, n: int):
     import jax.numpy as jnp
     return jnp.broadcast_to(x, (n, *x.shape))

@@ -206,3 +206,81 @@ def test_mixed_dofft_batch_one_call(rng):
                      np.asarray([9000, 0]), dofft=[True, False],
                      track_high=[False, True])
     assert _bpsk_block_batched._cache_size() == n_compiles
+
+
+def test_fuse_mf_chain_decodes(rng):
+    """The opt-in fused VCO+matched-filter front end (BpskConfig.fuse_mf,
+    one Pallas kernel for mix+decimate+VCO+MF) must decode the same
+    frames as the default staged chain (fp-reassociation differences
+    stay inside the decode margins)."""
+    from jsdr_tpu.demod.bpsk import bpsk_block_batch, bpsk_init_batch
+
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, preamble_bits=200)
+    n = len(sig) + (-len(sig)) % 96000
+    iq = np.zeros((1, n), np.complex64)
+    iq[0, :len(sig)] = sig
+
+    cfg = BpskConfig(rate=96000, tuning=12000.0, fuse_mf=True)
+    st = bpsk_init_batch(cfg, 1)
+    good = 0
+    for b in range(n // 96000):
+        # use_pallas=True on CPU runs the kernels under interpret
+        out, st = bpsk_block_batch(iq[:, b * 96000:(b + 1) * 96000], cfg,
+                                   st, use_pallas=True)
+        nh = int(out.n_hits[0])
+        if nh:
+            res = fec_decode(out.windows[0, :nh])
+            good += sum(bool(res.ok[i]) and np.array_equal(
+                np.asarray(res.payload[i]), payloads[0]) for i in range(nh))
+    assert good == 1
+
+
+def test_merged_spectrum_step_matches_staged(rng):
+    """bpsk_block_batch_spectrum (one-input-read merged kernel) must
+    reproduce the staged spectrum_waterfall + bpsk_block_batch pair:
+    identical waterfall lines, peaks, decode outputs, and carried
+    state."""
+    import jax
+    from jsdr_tpu.demod.bpsk import (bpsk_block_batch,
+                                     bpsk_block_batch_spectrum,
+                                     bpsk_init_batch)
+    from jsdr_tpu.ops.pallas_kernels import spectrum_waterfall
+
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, preamble_bits=200,
+                            noise_rms=0.2)
+    block = 96000 * 2
+    n = len(sig) + (-len(sig)) % block
+    iq = np.zeros((2, n), np.complex64)
+    iq[0, :len(sig)] = sig
+    iq[1, :len(sig)] = sig[::-1]
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+
+    for use_pallas in (False, True):      # fallback path / merged kernel
+        st_m = bpsk_init_batch(cfg, 2)
+        st_s = bpsk_init_batch(cfg, 2)
+        decoded = 0
+        for b in range(n // block):
+            blk = iq[:, b * block:(b + 1) * block]
+            spec, out_m, st_m = bpsk_block_batch_spectrum(
+                blk, cfg, st_m, use_pallas=use_pallas)
+            wf_s, mx_s, idx_s = spectrum_waterfall(
+                blk, 9600, interpret=True)
+            out_s, st_s = bpsk_block_batch(blk, cfg, st_s,
+                                           use_pallas=use_pallas)
+            assert np.array_equal(np.asarray(spec.wf), np.asarray(wf_s))
+            assert np.array_equal(np.asarray(spec.peak_db),
+                                  np.asarray(mx_s).swapaxes(0, 1))
+            assert np.array_equal(np.asarray(out_m.n_bits),
+                                  np.asarray(out_s.n_bits))
+            assert np.array_equal(np.asarray(out_m.windows),
+                                  np.asarray(out_s.windows))
+            nh = int(out_m.n_hits[0])
+            if nh:
+                res = fec_decode(out_m.windows[0, :nh])
+                decoded += int(res.ok.sum())
+        assert decoded == 1
+        assert np.array_equal(np.asarray(st_m.counters),
+                              np.asarray(st_s.counters))
+        assert np.array_equal(np.asarray(st_m.ring), np.asarray(st_s.ring))

@@ -394,3 +394,32 @@ def test_telemetry_sync_every_defers_readbacks(rng):
     assert len(counter_pubs) == -(-n_blocks // 3)
     assert len(frames) == 1 and frames[0]["ok"]
     assert np.array_equal(frames[0]["payload"], payload[0])
+
+
+def test_spectrum_telemetry_stage_one_pass(rng):
+    """SpectrumTelemetryStage (merged one-input-read device step) must
+    deliver both display topics (waterfall-line, fft-peak) and decoded
+    frames, matching the separate SpectrumStage+TelemetryStage pair's
+    telemetry results."""
+    from jsdr_tpu.demod.bpsk import BpskConfig
+    from jsdr_tpu.io.sources import synth_bpsk_stream
+    from jsdr_tpu.runtime.executor import Session, SpectrumTelemetryStage
+
+    payload = np.arange(256, dtype=np.uint8)[None]
+    sig = synth_bpsk_stream(payload, rate=96000, preamble_bits=300)
+    sig = np.concatenate([sig, np.zeros((-len(sig)) % 96000, np.complex64)])
+
+    frames, lines, peaks = [], [], []
+    s = Session(source=iter([sig]), block_samples=96000)
+    s.pubsub.listen(lambda t, v: frames.append(v) if t == "telemetry-frame"
+                    else lines.append(v) if t == "waterfall-line"
+                    else peaks.append(v) if t == "fft-peak" else None)
+    stage = SpectrumTelemetryStage(BpskConfig(rate=96000, tuning=12000.0),
+                                   sync_every=2)
+    n = s.run([stage])
+    assert n == len(sig) // 96000
+    assert len(frames) == 1 and frames[0]["ok"]
+    assert np.array_equal(frames[0]["payload"], payload[0])
+    assert lines and lines[0].shape == (10, 1920)   # 10 blocks/s, 1920 px
+    # the BPSK carrier sits at 12 kHz + 1200 Hz
+    assert any(abs(p[0] - 13200) < 1300 for p in peaks)
