@@ -113,6 +113,22 @@ def main():
             f"{wall:.2f}s wall ({n} blocks, "
             f"{n*rate/wall/1e6:.1f} MS/s live)")
 
+    # --- 3. raw-mode session with DEVICE convert on the TPU backend ---
+    from jsdr_tpu.io.convert import complex_to_s16le
+    frames = []
+    raw20 = np.frombuffer(complex_to_s16le(blocks20[: 10 * rate]), "<i2")
+    stage = TelemetryStage(cfg, tunings=[12000.0], sync_every=4)
+    sess = Session(source=iter([raw20]), block_samples=rate,
+                   i_corr=2, q_corr=-5)
+    sess.pubsub.listen(lambda t, v: frames.append(v)
+                       if t == "telemetry-frame" else None)
+    t0 = time.time()
+    n = sess.run([stage])
+    wall = time.time() - t0
+    log(f"RAW session (int16 upload + device convert, ic=2 qc=-5) on "
+        f"{jax.devices()[0].platform}: {n} blocks in {wall:.2f}s, "
+        f"frames={len(frames)} ok={[bool(f['ok']) for f in frames]}")
+
 
 if __name__ == "__main__":
     main()

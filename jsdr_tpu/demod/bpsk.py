@@ -941,7 +941,12 @@ def bpsk_block_batch_spectrum(iq, cfg: BpskConfig, states: BpskState,
                 and t_len % (4 * n) == 0
                 and np.all(tun_np == np.round(tun_np))
                 and pattern_mix_ok(tun_np, cfg.rate)
-                and t_len % (8 * cfg.decim) == 0)
+                and t_len % (8 * cfg.decim) == 0
+                # VMEM budget: the merged kernel holds the 4-block input
+                # chunk (double-buffered) plus the banded-matmul working
+                # set; the m=20 (192 k) geometry overflows the Mosaic
+                # compiler's VMEM budget on v5e — stage there instead
+                and 4 * n <= 40_000)
     if eligible:
         tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
         return _bpsk_spectrum_batched(
@@ -1008,6 +1013,17 @@ def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
             else "general"
         tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
     else:
+        # fractional tunings take the legacy host-ramp path whose ramps
+        # are baked into the compilation — make the per-tuning-set
+        # recompile visible instead of silently eating a compile each
+        # time the user passes e.g. 12000.5 (the reference's tuning key
+        # is integral, jsdr.java:87-95, so this path is off-contract)
+        import warnings
+        warnings.warn(
+            f"fractional tunings {tun_np.tolist()} use the static mix "
+            "path: every distinct tuning set triggers a recompilation "
+            "(integral tunings are traced data and never recompile)",
+            RuntimeWarning, stacklevel=2)
         manual_mode = "static"
         static_tunings = tuple(float(t) for t in tun_np)
         tun_arr = np.zeros(s, np.int32)

@@ -660,22 +660,27 @@ def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
             idx_ref[b, r] = jnp.full((128,), jnp.min(cand), jnp.int32)
 
     # ---- tuner mix + decimating FIR (same math as _mix_decimate_kernel,
-    # whole chunks only: the wrapper pads T to the 3840*m geometry)
-    wp = xr_ref.shape[-1]
-    x3r = xr_ref[...].reshape(_SPEC_ROWS, wp // 128, 128)
-    x3i = xi_ref[...].reshape(_SPEC_ROWS, wp // 128, 128)
-    mr = (x3r * cos_ref[...][:, None, :]).reshape(_SPEC_ROWS, wp)
-    mi = (x3i * sin_ref[...][:, None, :]).reshape(_SPEC_ROWS, wp)
-    wr = jnp.concatenate([hr_ref[...], mr], axis=1)
-    wi = jnp.concatenate([hi_ref[...], mi], axis=1)
+    # whole chunks only: the wrapper enforces the 3840*m geometry).
+    # Mixed samples materialize ONE sub-chunk at a time — the live
+    # working set stays ~1/3 of the chunk, which keeps the m=20 (192 k)
+    # geometry inside VMEM; the running halo scratch chains sub-chunks
+    # exactly like it chains grid steps.
+    wsub = _MD_CHUNK_OUT * m
     span = 128 * (m + 1)
     dot = _make_spec_dot(precision)
     k_tiles = _MD_CHUNK_OUT // 128
     for k3 in range(_SF_SUBCH):
-        base = k_tiles * k3
-        parts = [wr[:, 128 * m * (base + k): 128 * m * (base + k) + span]
+        x3r = xr_ref[:, k3 * wsub:(k3 + 1) * wsub].reshape(
+            _SPEC_ROWS, wsub // 128, 128)
+        x3i = xi_ref[:, k3 * wsub:(k3 + 1) * wsub].reshape(
+            _SPEC_ROWS, wsub // 128, 128)
+        mr = (x3r * cos_ref[...][:, None, :]).reshape(_SPEC_ROWS, wsub)
+        mi = (x3i * sin_ref[...][:, None, :]).reshape(_SPEC_ROWS, wsub)
+        wr = jnp.concatenate([hr_ref[...], mr], axis=1)
+        wi = jnp.concatenate([hi_ref[...], mi], axis=1)
+        parts = [wr[:, 128 * m * k: 128 * m * k + span]
                  for k in range(k_tiles)]
-        parts += [wi[:, 128 * m * (base + k): 128 * m * (base + k) + span]
+        parts += [wi[:, 128 * m * k: 128 * m * k + span]
                   for k in range(k_tiles)]
         wall = jnp.concatenate(parts, axis=0)           # [2K*8, span]
         y = dot(wall, tap_ref[...])                     # [2K*8, 128]
@@ -685,14 +690,14 @@ def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
             _SPEC_ROWS, _MD_CHUNK_OUT)
         oi_ref[:, sl] = jnp.moveaxis(y4[1], 0, 1).reshape(
             _SPEC_ROWS, _MD_CHUNK_OUT)
-    # hand the chunk's last 128 mixed samples to the next grid step
-    hr_ref[...] = wr[:, wp:wp + 128]
-    hi_ref[...] = wi[:, wp:wp + 128]
+        # hand the sub-chunk's last 128 mixed samples onward
+        hr_ref[...] = wr[:, wsub:wsub + 128]
+        hi_ref[...] = wi[:, wsub:wsub + 128]
 
     @pl.when(j == nb - 1)
     def _():
-        tlr_ref[...] = wr[:, wp:wp + 128]
-        tli_ref[...] = wi[:, wp:wp + 128]
+        tlr_ref[...] = hr_ref[...]
+        tli_ref[...] = hi_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "gain", "window",
