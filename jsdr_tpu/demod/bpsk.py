@@ -926,7 +926,7 @@ def bpsk_block_batch_spectrum(iq, cfg: BpskConfig, states: BpskState,
     spectrum_waterfall + bpsk_block_batch pair (same results, one extra
     input read).
     """
-    from ..ops.pallas_kernels import spectrum_waterfall
+    from ..ops.pallas_kernels import sf_geometry, spectrum_waterfall
     from ..ops.spectrum import bin_to_hz
 
     if use_pallas is None:
@@ -937,16 +937,14 @@ def bpsk_block_batch_spectrum(iq, cfg: BpskConfig, states: BpskState,
     if tunings is None:
         tunings = np.full(s, cfg.tuning, np.float64)
     tun_np = np.asarray(tunings, np.float64).reshape(-1)
+    # the merged kernel picks its grid chunk to fit VMEM per rate
+    # (sf_geometry: 4 FFT blocks at 96 k, 2 at 192 k)
+    sf_blocks, _ = sf_geometry(n, cfg.rate // DOWN_SAMPLE_RATE)
     eligible = (not cfg.dofft and not cfg.fuse_mf
-                and t_len % (4 * n) == 0
+                and t_len % (sf_blocks * n) == 0
                 and np.all(tun_np == np.round(tun_np))
                 and pattern_mix_ok(tun_np, cfg.rate)
-                and t_len % (8 * cfg.decim) == 0
-                # VMEM budget: the merged kernel holds the 4-block input
-                # chunk (double-buffered) plus the banded-matmul working
-                # set; the m=20 (192 k) geometry overflows the Mosaic
-                # compiler's VMEM budget on v5e — stage there instead
-                and 4 * n <= 40_000)
+                and t_len % (8 * cfg.decim) == 0)
     if eligible:
         tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
         return _bpsk_spectrum_batched(

@@ -171,6 +171,81 @@ def _make_spec_dot(precision: str):
     return dot
 
 
+def _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2, *, precision: str):
+    """Stage-1 Cooley-Tukey matmul for ONE row: B = W1 @ A with A the
+    [n1, n2] lane-split row. Per-row because the [n1, n1] @ [n1, n2]
+    contraction puts n1 in sublanes — batching rows would need a
+    transpose Mosaic doesn't support. Karatsuba 3-product form when
+    precision == "bf16x3" (see _spec_row)."""
+    dot = _make_spec_dot(precision)
+    if precision == "bf16x3":
+        t0 = dot(w1r, ar + ai)
+        return t0 - dot(w1s1, ai), t0 + dot(w1s2, ar)
+    return (dot(w1r, ar) - dot(w1i, ai),
+            dot(w1r, ai) + dot(w1i, ar))
+
+
+def _spec_tail_batched(brv, biv, twr, twi, w2r, w2i, w2s1, w2s2, *,
+                       n1: int, n2: int, q: int, precision: str):
+    """Twiddle + stage 2 + PSD + waterfall-decimate + peak for ALL rows
+    of a grid step at once, reading the [R, P, n2] stage-1 scratch
+    (P = n1 padded to a sublane/decimation-aligned multiple, pad rows
+    zero).
+
+    [R, P, n2] -> [R*P, n2] is a free leading-dim merge, so stage 2 runs
+    as 3 (Karatsuba) MXU dots of [R*P, n2] @ [n2, n2] instead of 3 per
+    row, and every VPU pass (twiddle, |X|^2, decimation max, log10, peak
+    reduction) issues once per step instead of R times — measured 11%
+    step win on v5e (bench/exp_r4_spec3.py; the kernel is VPU-pass
+    bound, see PERF.md). Zero pad rows are harmless everywhere: power
+    >= 0 so they never win the peak max, and the decimated slice [:g]
+    drops the pad groups (q | P by construction).
+
+    Returns (wf [R, n1//q, n2] dB lines, mx [R] peak dB, idx [R] flat
+    permuted argmax) with values and tie-break identical to the per-row
+    _spec_row path."""
+    import jax.lax as lax
+
+    r_rows, p_pad, _ = brv.shape
+    n = n1 * n2
+    dot = _make_spec_dot(precision)
+    cf = np.float32((2.0 / n) ** 2)
+    dn = (((1,), (1,)), ((), ()))
+    cr = brv * twr[None] - biv * twi[None]
+    ci = brv * twi[None] + biv * twr[None]
+    c2r = cr.reshape(r_rows * p_pad, n2)
+    c2i = ci.reshape(r_rows * p_pad, n2)
+    if precision == "bf16x3":
+        t0 = dot(c2r + c2i, w2r, dn)
+        dr = t0 - dot(c2i, w2s1, dn)
+        di = t0 + dot(c2r, w2s2, dn)
+    else:
+        dr = dot(c2r, w2r, dn) - dot(c2i, w2i, dn)
+        di = dot(c2r, w2i, dn) + dot(c2i, w2r, dn)
+    power = ((dr * dr + di * di) * cf).reshape(r_rows, p_pad, n2)
+    g = n1 // q
+    dec = jnp.max(power.reshape(r_rows, p_pad // q, q, n2), axis=2)
+    wf = 10.0 * jnp.log10(jnp.maximum(dec[:, :g], _EPS))
+    col_max = jnp.max(power, axis=1)                        # [R, n2]
+    col_arg = jnp.argmax(power, axis=1).astype(jnp.int32)   # first k1
+    mx_raw = jnp.max(col_max, axis=1)                       # [R]
+    lane = lax.broadcasted_iota(jnp.int32, (r_rows, n2), 1)
+    cand = jnp.where(col_max == mx_raw[:, None],
+                     col_arg * n2 + lane, jnp.int32(n1 * n2))
+    mx = 10.0 * jnp.log10(jnp.maximum(mx_raw, _EPS))
+    return wf, mx, jnp.min(cand, axis=1)
+
+
+def _spec_pad_rows(n1: int, q: int) -> int:
+    """Stage-1 scratch row count: n1 rounded up to a multiple of
+    lcm(8, q) so the scratch is f32-sublane aligned AND the batched
+    waterfall decimation reshape (q must divide P) stays legal."""
+    import math
+
+    align = 8 * q // math.gcd(8, q)
+    return -(-n1 // align) * align
+
+
 def _spec_row(ar, ai, w1r, w1i, w1s1, w1s2, twr, twi,
               w2r, w2i, w2s1, w2s2, *, n1: int, n2: int,
               precision: str, wf_group: int):
@@ -194,19 +269,13 @@ def _spec_row(ar, ai, w1r, w1i, w1s1, w1s2, twr, twi,
     # back to natural frequency order is not a supported Mosaic relayout;
     # callers recover natural indices as n1*k2 + k1.
     dn = (((1,), (1,)), ((), ()))
-    if karatsuba:
-        # complex matmul with THREE real products (host-precomputed
-        # W sums): re = T0 - (Wr+Wi)@Ai, im = T0 + (Wi-Wr)@Ar with
-        # T0 = Wr@(Ar+Ai) — 25% fewer MXU passes than the 4-product
-        # form; cancellation error stays under the display budget
-        # (measured, see spectrum_fused docstring)
-        t0 = dot(w1r, ar + ai)
-        br = t0 - dot(w1s1, ai)
-        bi = t0 + dot(w1s2, ar)
-    else:
-        # stage 1: B = W1 @ A   [n1, n1] @ [n1, n2]
-        br = dot(w1r, ar) - dot(w1i, ai)
-        bi = dot(w1r, ai) + dot(w1i, ar)
+    # stage 1: B = W1 @ A   [n1, n1] @ [n1, n2] — Karatsuba 3-product
+    # complex matmul under bf16x3 (host-precomputed W sums): re = T0 -
+    # (Wr+Wi)@Ai, im = T0 + (Wi-Wr)@Ar with T0 = Wr@(Ar+Ai) — 25% fewer
+    # MXU passes than the 4-product form; cancellation error stays under
+    # the display budget (measured, see spectrum_fused docstring)
+    br, bi = _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2,
+                          precision=precision)
     # twiddle [k1, n2]
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
@@ -265,6 +334,45 @@ def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
         idx_ref[0, r] = jnp.full((128,), jnp.min(cand), jnp.int32)
 
 
+def _spectrum_wf_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
+                        twr, twi, w2r, w2i, w2s1, w2s2,
+                        wf_ref, mx_ref, idx_ref, sbr, sbi, *, n1: int,
+                        n2: int, p_pad: int, nblk_step: int,
+                        precision: str, wf_group: int):
+    """Waterfall-mode spectrum with the SCRATCH-BATCHED tail: stage 1
+    stays per-row (its contraction puts n1 in sublanes), but writes into
+    a [R, P, n2] VMEM scratch so the twiddle/stage-2/PSD/decimate/peak
+    tail runs ONCE per FFT block over all 8 rows — 3 Karatsuba MXU dots
+    of [R*P, n2] @ [n2, n2] instead of 24 of [n1, n2] @ [n2, n2] and 8x
+    fewer VPU passes. Measured on v5e: 4.93 ms vs 5.39 ms per-row for
+    the 64x960k bench shape (bench/exp_r4_spec3.py, blk4 + parallel/
+    arbitrary grid semantics). twr/twi arrive zero-padded to [P, n2]."""
+    n = n1 * n2
+    if p_pad != n1:
+        # pad rows must be zero under ANY grid-iteration order
+        # (parallel dimension semantics may revisit a step) — zeroing
+        # the tiny pad band every step is ~2 vector stores
+        sbr[:, n1:] = jnp.zeros((_SPEC_ROWS, p_pad - n1, n2), jnp.float32)
+        sbi[:, n1:] = jnp.zeros((_SPEC_ROWS, p_pad - n1, n2), jnp.float32)
+    for b in range(nblk_step):
+        a3r = (x_re[:, b * n:(b + 1) * n] * win[...]).reshape(
+            _SPEC_ROWS, n1, n2)
+        a3i = (x_im[:, b * n:(b + 1) * n] * win[...]).reshape(
+            _SPEC_ROWS, n1, n2)
+        for r in range(_SPEC_ROWS):
+            br, bi = _spec_stage1(a3r[r], a3i[r], w1r[...], w1i[...],
+                                  w1s1[...], w1s2[...], precision=precision)
+            sbr[r, :n1] = br
+            sbi[r, :n1] = bi
+        wf, mx, idx = _spec_tail_batched(
+            sbr[...], sbi[...], twr[...], twi[...], w2r[...], w2i[...],
+            w2s1[...], w2s2[...], n1=n1, n2=n2, q=wf_group,
+            precision=precision)
+        wf_ref[b] = wf
+        mx_ref[b] = jnp.broadcast_to(mx[:, None], (_SPEC_ROWS, 128))
+        idx_ref[b] = jnp.broadcast_to(idx[:, None], (_SPEC_ROWS, 128))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n", "window", "interpret", "precision",
                                     "wf_group"))
@@ -299,9 +407,54 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3",
         im = jnp.concatenate([im, zp])
     sp = s + pad_s
 
-    grid = (sp // rows, nblk)
     const = lambda z: pl.BlockSpec(z.shape, lambda i, j: (0,) * z.ndim,
                                    memory_space=pltpu.VMEM)
+    if wf_group:
+        # waterfall mode: scratch-batched tail, multi-block grid steps,
+        # parallel/arbitrary semantics (measured winner, exp_r4_spec3)
+        p_pad = _spec_pad_rows(n1, wf_group)
+        twr_p = np.zeros((p_pad, n2), np.float32)
+        twi_p = np.zeros((p_pad, n2), np.float32)
+        twr_p[:n1], twi_p[:n1] = twr, twi
+        twr, twi = twr_p, twi_p
+        nblk_step = next(k for k in (4, 2, 1) if nblk % k == 0)
+        consts = [jnp.asarray(win[None, :])] + [
+            jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
+                                     w2r, w2i, w2s1, w2s2)]
+        kernel = functools.partial(
+            _spectrum_wf_kernel, n1=n1, n2=n2, p_pad=p_pad,
+            nblk_step=nblk_step, precision=precision, wf_group=wf_group)
+        wf, mx, idx = pl.pallas_call(
+            kernel,
+            grid=(sp // rows, nblk // nblk_step),
+            in_specs=[
+                pl.BlockSpec((rows, n * nblk_step), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, n * nblk_step), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+            ] + [const(z) for z in consts],
+            out_specs=[
+                pl.BlockSpec((nblk_step, rows, n1_out, n2),
+                             lambda i, j: (j, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nblk_step, rows, 128), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nblk_step, rows, 128), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nblk, sp, n1_out, n2), jnp.float32),
+                jax.ShapeDtypeStruct((nblk, sp, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nblk, sp, 128), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((rows, p_pad, n2), jnp.float32),
+                            pltpu.VMEM((rows, p_pad, n2), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(re, im, *consts)
+        return wf[:, :s], mx[:, :s, 0], idx[:, :s, 0]
+
     consts = [jnp.asarray(win[None, :])] + [
         jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
                                  w2r, w2i, w2s1, w2s2)]
@@ -309,7 +462,7 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3",
                                precision=precision, wf_group=wf_group)
     psd, mx, idx = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(sp // rows, nblk),
         in_specs=[
             pl.BlockSpec((rows, n), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -329,6 +482,8 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3",
             jax.ShapeDtypeStruct((nblk, sp, 128), jnp.float32),
             jax.ShapeDtypeStruct((nblk, sp, 128), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(re, im, *consts)
     # [nblk, S, k1, k2] permuted order + per-block peak (db, flat index)
@@ -621,16 +776,28 @@ def _mix_decimate_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
 # sub-chunk is 1280*m, so LCM = 3840*m = 4 FFT blocks = 3 sub-chunks.
 # ---------------------------------------------------------------------------
 
-_SF_BLOCKS = 4        # FFT blocks per grid step
+_SF_BLOCKS = 4        # FFT blocks per grid step (96 k geometry)
 _SF_SUBCH = 3         # decimation sub-chunks per grid step
+
+
+def sf_geometry(n: int, m: int) -> tuple[int, int]:
+    """Merged-kernel grid geometry: (FFT blocks per grid step, decimated
+    outputs per sub-chunk). blocks*n == 3*sub_out*m holds for both
+    because n == 960*m (n = rate/10, m = rate/9600). The 4-block /
+    1280-out form measures fastest at 96 k, but its m=20 (192 k) input
+    chunk (4*19200 samples x 8 rows x 2 planes, double-buffered)
+    overflows v5e's ~16 MB VMEM — 192 k drops to 2 blocks / 640-out
+    sub-chunks (same per-step structure, half the resident chunk)."""
+    return (4, 1280) if 4 * n <= 40_000 else (2, 640)
 
 
 def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
                        win, w1r, w1i, w1s1, w1s2, twr, twi,
                        w2r, w2i, w2s1, w2s2, tap_ref,
                        wf_ref, mx_ref, idx_ref, or_ref, oi_ref,
-                       tlr_ref, tli_ref, hr_ref, hi_ref, *,
-                       m: int, n1: int, n2: int, nb: int,
+                       tlr_ref, tli_ref, hr_ref, hi_ref, sbr, sbi, *,
+                       m: int, n1: int, n2: int, nb: int, p_pad: int,
+                       sf_blocks: int, sub_out: int,
                        precision: str, wf_group: int):
     from jax.experimental import pallas as pl
 
@@ -643,21 +810,30 @@ def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
         hi_ref[...] = t0i_ref[...]
 
     # ---- spectrum over the raw rows, one FFT block at a time (the
-    # [rows, n] -> [rows, n1, n2] lane split is the supported cast)
-    for b in range(_SF_BLOCKS):
+    # [rows, n] -> [rows, n1, n2] lane split is the supported cast).
+    # Stage 1 per row into the [R, P, n2] scratch; the twiddle/stage-2/
+    # PSD/decimate/peak tail runs batched once per block (see
+    # _spectrum_wf_kernel / _spec_tail_batched; twr/twi are P-padded).
+    if p_pad != n1:
+        sbr[:, n1:] = jnp.zeros((_SPEC_ROWS, p_pad - n1, n2), jnp.float32)
+        sbi[:, n1:] = jnp.zeros((_SPEC_ROWS, p_pad - n1, n2), jnp.float32)
+    for b in range(sf_blocks):
         a3r = (xr_ref[:, b * n:(b + 1) * n] * win[...]).reshape(
             _SPEC_ROWS, n1, n2)
         a3i = (xi_ref[:, b * n:(b + 1) * n] * win[...]).reshape(
             _SPEC_ROWS, n1, n2)
         for r in range(_SPEC_ROWS):
-            out, mx, cand = _spec_row(
-                a3r[r], a3i[r], w1r[...], w1i[...], w1s1[...], w1s2[...],
-                twr[...], twi[...], w2r[...], w2i[...], w2s1[...],
-                w2s2[...], n1=n1, n2=n2, precision=precision,
-                wf_group=wf_group)
-            wf_ref[b, r] = out
-            mx_ref[b, r] = jnp.full((128,), mx, jnp.float32)
-            idx_ref[b, r] = jnp.full((128,), jnp.min(cand), jnp.int32)
+            br, bi = _spec_stage1(a3r[r], a3i[r], w1r[...], w1i[...],
+                                  w1s1[...], w1s2[...], precision=precision)
+            sbr[r, :n1] = br
+            sbi[r, :n1] = bi
+        wf, mx, idx = _spec_tail_batched(
+            sbr[...], sbi[...], twr[...], twi[...], w2r[...], w2i[...],
+            w2s1[...], w2s2[...], n1=n1, n2=n2, q=wf_group,
+            precision=precision)
+        wf_ref[b] = wf
+        mx_ref[b] = jnp.broadcast_to(mx[:, None], (_SPEC_ROWS, 128))
+        idx_ref[b] = jnp.broadcast_to(idx[:, None], (_SPEC_ROWS, 128))
 
     # ---- tuner mix + decimating FIR (same math as _mix_decimate_kernel,
     # whole chunks only: the wrapper enforces the 3840*m geometry).
@@ -665,10 +841,10 @@ def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
     # working set stays ~1/3 of the chunk, which keeps the m=20 (192 k)
     # geometry inside VMEM; the running halo scratch chains sub-chunks
     # exactly like it chains grid steps.
-    wsub = _MD_CHUNK_OUT * m
+    wsub = sub_out * m
     span = 128 * (m + 1)
     dot = _make_spec_dot(precision)
-    k_tiles = _MD_CHUNK_OUT // 128
+    k_tiles = sub_out // 128
     for k3 in range(_SF_SUBCH):
         x3r = xr_ref[:, k3 * wsub:(k3 + 1) * wsub].reshape(
             _SPEC_ROWS, wsub // 128, 128)
@@ -685,11 +861,11 @@ def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
         wall = jnp.concatenate(parts, axis=0)           # [2K*8, span]
         y = dot(wall, tap_ref[...])                     # [2K*8, 128]
         y4 = y.reshape(2, k_tiles, _SPEC_ROWS, 128)
-        sl = slice(_MD_CHUNK_OUT * k3, _MD_CHUNK_OUT * (k3 + 1))
+        sl = slice(sub_out * k3, sub_out * (k3 + 1))
         or_ref[:, sl] = jnp.moveaxis(y4[0], 0, 1).reshape(
-            _SPEC_ROWS, _MD_CHUNK_OUT)
+            _SPEC_ROWS, sub_out)
         oi_ref[:, sl] = jnp.moveaxis(y4[1], 0, 1).reshape(
-            _SPEC_ROWS, _MD_CHUNK_OUT)
+            _SPEC_ROWS, sub_out)
         # hand the sub-chunk's last 128 mixed samples onward
         hr_ref[...] = wr[:, wsub:wsub + 128]
         hi_ref[...] = wi[:, wsub:wsub + 128]
@@ -723,8 +899,9 @@ def _spec_front_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
     s, t = xr.shape
     n2 = 128
     n1 = n // n2
-    chunk = _SF_BLOCKS * n
-    assert chunk == _SF_SUBCH * _MD_CHUNK_OUT * m
+    sf_blocks, sub_out = sf_geometry(n, m)
+    chunk = sf_blocks * n
+    assert chunk == _SF_SUBCH * sub_out * m
     nb = t // chunk
     nblk = t // n
     w1r, w1i = _dft_mats(n1, -1.0)
@@ -753,15 +930,20 @@ def _spec_front_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
     t0i = jnp.pad(tail_i, ((0, 0), (128 - (ntaps - 1), 0)))
 
     g_out = n1 // wf_group if wf_group else n1
+    p_pad = _spec_pad_rows(n1, wf_group)
+    twr_p = np.zeros((p_pad, n2), np.float32)
+    twi_p = np.zeros((p_pad, n2), np.float32)
+    twr_p[:n1], twi_p[:n1] = twr, twi
     const = lambda z: pl.BlockSpec(z.shape, lambda i, j: (0,) * z.ndim,
                                    memory_space=pltpu.VMEM)
     consts = [jnp.asarray(win[None, :])] + [
-        jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
+        jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr_p, twi_p,
                                  w2r, w2i, w2s1, w2s2)]
     row128 = lambda: pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
                                   memory_space=pltpu.VMEM)
     kernel = functools.partial(_spec_front_kernel, m=m, n1=n1, n2=n2,
-                               nb=nb, precision=precision,
+                               nb=nb, p_pad=p_pad, sf_blocks=sf_blocks,
+                               sub_out=sub_out, precision=precision,
                                wf_group=wf_group)
     wf, mx, idx, yr, yi, tlr, tli = pl.pallas_call(
         kernel,
@@ -777,16 +959,16 @@ def _spec_front_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_SF_BLOCKS, rows, g_out, n2),
+            pl.BlockSpec((sf_blocks, rows, g_out, n2),
                          lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SF_BLOCKS, rows, 128), lambda i, j: (j, i, 0),
+            pl.BlockSpec((sf_blocks, rows, 128), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SF_BLOCKS, rows, 128), lambda i, j: (j, i, 0),
+            pl.BlockSpec((sf_blocks, rows, 128), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, _SF_SUBCH * _MD_CHUNK_OUT),
+            pl.BlockSpec((rows, _SF_SUBCH * sub_out),
                          lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, _SF_SUBCH * _MD_CHUNK_OUT),
+            pl.BlockSpec((rows, _SF_SUBCH * sub_out),
                          lambda i, j: (i, j), memory_space=pltpu.VMEM),
             row128(), row128(),
         ],
@@ -800,7 +982,11 @@ def _spec_front_jit(xr, xi, cos_pat, sin_pat, taps, tapmat, tail_r, tail_i,
             jax.ShapeDtypeStruct((sp, 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32),
-                        pltpu.VMEM((rows, 128), jnp.float32)],
+                        pltpu.VMEM((rows, 128), jnp.float32),
+                        pltpu.VMEM((rows, p_pad, n2), jnp.float32),
+                        pltpu.VMEM((rows, p_pad, n2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(xr, xi, t0r, t0i, cos_pat, sin_pat, *consts, tapmat)
     return (wf[:, :s], mx[:, :s, 0], idx[:, :s, 0], yr[:s], yi[:s],
@@ -816,9 +1002,10 @@ def spectrum_front_fused(iq: CF, n: int, cos_pat, sin_pat, taps, m: int,
     """Merged waterfall-spectrum + tuner-mix + decimating-FIR over [S, T]
     stream rows — ONE HBM read of the full-rate input for both consumers.
 
-    Requires T to be a multiple of 4*n (= 3 decimation sub-chunks; n
-    must be 10*1280*m/... — callers use n = rate//10 with m = rate//9600,
-    which always lines up). Returns (wf [T//n, S, G, 128] dB decimated
+    Requires T to be a multiple of ``sf_geometry(n, m)[0] * n`` (the
+    grid-step chunk: a whole number of FFT blocks = 3 decimation
+    sub-chunks; callers use n = rate//10 with m = rate//9600, which
+    always lines up). Returns (wf [T//n, S, G, 128] dB decimated
     lines — see :func:`spectrum_waterfall` for the layout/identities —
     peak_db [T//n, S], flat permuted argmax [T//n, S] i32,
     ds CF [S, T//m], new_tail CF [S, ntaps-1]).
@@ -828,9 +1015,10 @@ def spectrum_front_fused(iq: CF, n: int, cos_pat, sin_pat, taps, m: int,
     elif use_pallas and jax.devices()[0].platform == "cpu":
         interpret = True
     s, t = iq.shape
-    assert t % (_SF_BLOCKS * n) == 0, (
-        f"T must be a multiple of {_SF_BLOCKS * n} (4 FFT blocks = "
-        "3 decimation sub-chunks)")
+    sf_blocks, _sub = sf_geometry(n, m)
+    assert t % (sf_blocks * n) == 0, (
+        f"T must be a multiple of {sf_blocks * n} ({sf_blocks} FFT "
+        "blocks = 3 decimation sub-chunks)")
     assert n % 128 == 0 and n // 128 <= 512
     q = wf_group_for(n, max_width)
     taps_np = np.asarray(taps, np.float32)

@@ -284,3 +284,37 @@ def test_merged_spectrum_step_matches_staged(rng):
         assert np.array_equal(np.asarray(st_m.counters),
                               np.asarray(st_s.counters))
         assert np.array_equal(np.asarray(st_m.ring), np.asarray(st_s.ring))
+
+
+def test_merged_spectrum_step_192k(rng):
+    """The merged kernel's 192 kS/s geometry (m=20: 2 FFT blocks / 3
+    sub-chunks of 640 per grid step, sf_geometry) must be eligible and
+    match the staged pair — one 1 s block, decode-path counters and
+    waterfall lines compared."""
+    from jsdr_tpu.demod.bpsk import (bpsk_block_batch,
+                                     bpsk_block_batch_spectrum,
+                                     bpsk_init_batch)
+    from jsdr_tpu.ops.pallas_kernels import sf_geometry, spectrum_waterfall
+
+    assert sf_geometry(19200, 20) == (2, 640)
+    assert sf_geometry(9600, 10) == (4, 1280)
+    rate = 192000
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=rate, preamble_bits=200,
+                            noise_rms=0.2)[:rate]
+    iq = np.zeros((1, rate), np.complex64)
+    iq[0, :len(sig)] = sig
+    cfg = BpskConfig(rate=rate, tuning=12000.0)
+    st_m = bpsk_init_batch(cfg, 1)
+    st_s = bpsk_init_batch(cfg, 1)
+    spec, out_m, st_m = bpsk_block_batch_spectrum(iq, cfg, st_m,
+                                                  use_pallas=True)
+    wf_s, mx_s, idx_s = spectrum_waterfall(iq, rate // 10, interpret=True)
+    out_s, st_s = bpsk_block_batch(iq, cfg, st_s, use_pallas=True)
+    assert np.array_equal(np.asarray(spec.wf), np.asarray(wf_s))
+    assert np.array_equal(np.asarray(spec.peak_db),
+                          np.asarray(mx_s).swapaxes(0, 1))
+    assert np.array_equal(np.asarray(out_m.n_bits), np.asarray(out_s.n_bits))
+    assert np.array_equal(np.asarray(out_m.windows),
+                          np.asarray(out_s.windows))
+    assert np.array_equal(np.asarray(st_m.counters), np.asarray(st_s.counters))

@@ -352,5 +352,11 @@ def test_spectrum_waterfall_matches_decimated_psd(rng):
     nat = np.asarray(spectrum_natural_order(psd))     # [S, nblk, n]
     ref = nat.reshape(8, 3, n // q, q).max(axis=-1)
     got = np.asarray(waterfall_natural_order(wf))
-    assert np.array_equal(got, ref)
+    # near-equality, not bit-equality: the waterfall kernel batches its
+    # stage-2 matmul over all 8 rows ([R*P, 128] vs the full-PSD
+    # kernel's per-row [n1, 128]), and XLA CPU picks different dot
+    # blocking per shape. The decimation identities themselves
+    # (natural-order grouping, max-then-log == log-then-max) are exact —
+    # the peaks above match bit-for-bit.
+    np.testing.assert_allclose(got, ref, atol=1e-4)
     assert wf_group_for(19200) == 10                  # 192 kS/s FFT size
