@@ -1,0 +1,121 @@
+"""Round-3c: merged-step attribution after the scratch-batched tail.
+
+Times, at the 64x10s bench shape on the chip:
+  kernel   spectrum_front_fused alone (merged Pallas kernel, forced)
+  tail     _bpsk_post alone on a precomputed decimated stream
+  step     full bpsk_block_batch_spectrum
+  wf       standalone spectrum_waterfall (for reference)
+  front    standalone mix_decimate (front end alone)
+step - kernel = the serialized tail cost; compare against tail
+standalone to see what XLA's scheduling hides.
+"""
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jsdr_tpu.demod import bpsk as B
+from jsdr_tpu.demod.bpsk import (BpskConfig, bpsk_block_batch_spectrum,
+                                 bpsk_init_batch)
+from jsdr_tpu.io.sources import synth_bpsk_stream
+from jsdr_tpu.ops.cplx import CF, from_complex
+from jsdr_tpu.ops.pallas_kernels import (mix_decimate, spectrum_front_fused,
+                                         spectrum_waterfall)
+from jsdr_tpu.runtime.tpu import ensure_tpu_ready
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, iters=20, tag="", samples=None):
+    r = jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / iters
+    extra = f" ({samples/dt/1e6:.0f} MS/s)" if samples else ""
+    log(f"{tag}: {dt*1000:.2f} ms{extra}")
+    return dt
+
+
+def main():
+    ensure_tpu_ready(attempts=2)
+    log(f"device: {jax.devices()[0]}")
+    rate, n_streams, t_len, fft_n = 96_000, 64, 960_000, 9_600
+    m = rate // B.DOWN_SAMPLE_RATE
+    samples = n_streams * t_len
+    cfg = BpskConfig(rate=rate, tuning=12_000.0)
+    rng = np.random.default_rng(0)
+    base = synth_bpsk_stream(
+        rng.integers(0, 256, (2, 256), dtype=np.uint8),
+        rate=rate, preamble_bits=400, noise_rms=0.3)
+    reps = int(np.ceil(samples / len(base)))
+    sig = np.tile(base, reps)[:samples].reshape(n_streams, t_len)
+    iq = jax.device_put(from_complex(sig))
+    states = jax.device_put(bpsk_init_batch(cfg, n_streams))
+    jax.block_until_ready((iq, states))
+    tunings = np.full(n_streams, 12_000, np.int32)
+
+    taps = B.DS_FILTER.astype(np.float32)
+
+    @jax.jit
+    def kernel_only(re, im, st):
+        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+        wf, mx, idx, ds, tl = spectrum_front_fused(
+            CF(re, im), fft_n, cos_pat, sin_pat, taps, m, st.ds_tail,
+            gain=B.HOWARD_FUDGE_FACTOR)
+        return (wf.sum() + mx.sum() + idx.sum() + ds.re.sum() + ds.im.sum()
+                + tl.re.sum())
+
+    @jax.jit
+    def front_only(re, im, st):
+        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+        ds, tl = mix_decimate(CF(re, im), cos_pat, sin_pat, taps, m,
+                              st.ds_tail, gain=B.HOWARD_FUDGE_FACTOR)
+        return ds.re.sum() + ds.im.sum() + tl.re.sum()
+
+    # precompute the decimated stream for the tail-only measurement
+    cos_pat, sin_pat = B._nco_pattern(states.tu_phase, tunings, rate)
+    ds, _ = mix_decimate(CF(iq.re, iq.im), cos_pat, sin_pat, taps, m,
+                         states.ds_tail, gain=B.HOWARD_FUDGE_FACTOR)
+    ds = jax.block_until_ready(ds)
+    tu_phase = B._nco_advance(states.tu_phase, tunings, rate, t_len)
+
+    @jax.jit
+    def tail_only(dsr, dsi, st, tup):
+        post = partial(B._bpsk_post, t_len=t_len,
+                       max_hits=cfg.max_hits_per_block, compat_scan=False)
+        out, ns = jax.vmap(post)(CF(dsr, dsi), st, tup, st.ds_tail,
+                                 st.fft_tuner)
+        return (out.windows.astype(jnp.int32).sum() + out.n_hits.sum()
+                + out.n_bits.sum())
+
+    @jax.jit
+    def full_step(re, im, st):
+        spec, out, ns = bpsk_block_batch_spectrum(CF(re, im), cfg, st, None)
+        return (spec.wf.sum() + spec.peak_db.sum()
+                + out.windows.astype(jnp.int32).sum() + out.n_hits.sum())
+
+    @jax.jit
+    def wf_only(re, im):
+        wf, mx, idx = spectrum_waterfall(CF(re, im), fft_n)
+        return wf.sum() + mx.sum() + idx.sum()
+
+    timeit(wf_only, iq.re, iq.im, tag="wf standalone", samples=samples)
+    timeit(front_only, iq.re, iq.im, states, tag="front standalone",
+           samples=samples)
+    timeit(kernel_only, iq.re, iq.im, states, tag="merged kernel only",
+           samples=samples)
+    timeit(tail_only, ds.re, ds.im, states, tu_phase, tag="tail standalone",
+           samples=samples)
+    timeit(full_step, iq.re, iq.im, states, tag="full merged step",
+           samples=samples)
+
+
+if __name__ == "__main__":
+    main()
