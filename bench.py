@@ -169,6 +169,50 @@ def bench_192k(log):
         f"-> {msps/0.192:.0f}x the reference V2 real-time rate")
 
 
+def bench_demod(log):
+    """Broadcast-audio demod at full rate (demod.java:398-483 work unit):
+    21-tap complex band-pass FIR + NCO down-shift + quadrature
+    discriminator + AGC, WFM mode, batched over streams — the
+    reference's configs 2-3 (AM/NFM/WFM to speaker audio)."""
+    import jax
+    import jax.numpy as jnp
+    from jsdr_tpu.demod.am_fm import AmFmConfig, AmFmState, Mode, demod_block
+    from jsdr_tpu.ops.cplx import CF, from_complex
+
+    rate, n_streams, t_len = 96_000, 64, 960_000      # 10 s per stream
+    cfg = AmFmConfig(rate=rate, mode=int(Mode.WFM), dofir=True,
+                     dodwn=True, doagc=True, flo=-20_000, fhi=20_000)
+    rng = np.random.default_rng(4)
+    sig = (0.3 * (rng.standard_normal((n_streams, t_len))
+                  + 1j * rng.standard_normal((n_streams, t_len)))
+           ).astype(np.complex64)
+    iq = jax.block_until_ready(jax.device_put(from_complex(sig)))
+    st0 = AmFmState.init(cfg)
+    states = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x),
+                                  (n_streams, *np.shape(x))).copy(), st0)
+    states = jax.block_until_ready(jax.device_put(states))
+
+    @jax.jit
+    def step(re, im, st):
+        f = lambda iq1, st1: demod_block(iq1, cfg, st1)
+        audio, mx, avg, ns = jax.vmap(f)(CF(re, im), st)
+        return audio.sum() + mx.sum(), ns
+
+    res = jax.block_until_ready(step(iq.re, iq.im, states))
+    iters, st = 10, states
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(iq.re, iq.im, st)
+        st = out[1]
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    msps = n_streams * t_len / dt / 1e6
+    log(f"WFM demod (FIR+downshift+discriminator+AGC): {msps:.0f} MS/s/chip "
+        f"({dt*1000:.1f} ms/step) -> ~{msps/0.096:.0f} realtime 96k "
+        f"broadcast channels/chip")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -239,7 +283,7 @@ def main():
         f"{samples*iters/(total+up)/1e6:.1f} MS/s")
 
     # the secondary diagnostics must not take down the headline metric
-    for extra in (bench_fec, bench_ingest, bench_192k):
+    for extra in (bench_fec, bench_ingest, bench_192k, bench_demod):
         try:
             extra(log)
         except Exception as e:  # noqa: BLE001

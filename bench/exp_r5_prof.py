@@ -96,6 +96,75 @@ def main():
                 + out.n_bits.sum())
 
     @jax.jit
+    def vco_mf_only(dsr, dsi, st):
+        from jsdr_tpu.ops.fir import fir_apply_streaming
+
+        def one(ds1, st1):
+            bb, vco_idx = B._vco_mix(ds1, st1.vco_idx)
+            mf, mf_tail = fir_apply_streaming(
+                bb, jnp.asarray(B.DM_FILTER.astype(np.float32)),
+                st1.mf_tail, precision="bf16x3")
+            return mf, vco_idx, mf_tail
+
+        mf, vi, mt = jax.vmap(one)(CF(dsr, dsi), st)
+        return mf.re.sum() + mf.im.sum() + vi.sum()
+
+    # precompute the matched-filter output for the post-mf measurement
+    def one_mf(ds1, st1):
+        from jsdr_tpu.ops.fir import fir_apply_streaming
+        bb, vco_idx = B._vco_mix(ds1, st1.vco_idx)
+        mf, mf_tail = fir_apply_streaming(
+            bb, jnp.asarray(B.DM_FILTER.astype(np.float32)),
+            st1.mf_tail, precision="bf16x3")
+        return mf, vco_idx, mf_tail
+
+    mf_pre, vco_pre, mft_pre = jax.block_until_ready(
+        jax.jit(lambda r, i, st: jax.vmap(one_mf)(CF(r, i), st))(
+            ds.re, ds.im, states))
+
+    @jax.jit
+    def post_mf_only(mfr, mfi, st, tup, vi, mt):
+        post = partial(B._bpsk_post_mf, t_len=t_len,
+                       max_hits=cfg.max_hits_per_block, compat_scan=False)
+        out, ns = jax.vmap(post)(CF(mfr, mfi), st, tup, st.ds_tail, mt, vi,
+                                 st.fft_tuner)
+        return (out.windows.astype(jnp.int32).sum() + out.n_hits.sum()
+                + out.n_bits.sum())
+
+    @jax.jit
+    def timing_only(mfr, mfi, st):
+        v, bit, di, e2, ts = jax.vmap(B._timing_parallel)(
+            CF(mfr, mfi), st.timing)
+        return (v.sum() + bit.sum() + di.sum() + e2.sum()
+                + ts.e_out.sum())
+
+    t_ds = t_len // m
+    max_bits = 2 * (t_ds // B.SAMPLES_PER_BIT) + 2
+    vpre, bpre = jax.block_until_ready(jax.jit(
+        lambda r, i, st: jax.vmap(B._timing_parallel)(CF(r, i),
+                                                      st.timing)[:2])(
+        mf_pre.re, mf_pre.im, states))
+
+    @jax.jit
+    def compact_only(v, bit):
+        bits, n_bits = jax.vmap(partial(B._compact_bits,
+                                        max_bits=max_bits))(v, bit)
+        return bits.astype(jnp.int32).sum() + n_bits.sum()
+
+    bits_pre, nb_pre = jax.block_until_ready(jax.jit(
+        lambda v, b: jax.vmap(partial(B._compact_bits,
+                                      max_bits=max_bits))(v, b))(
+        vpre, bpre))
+
+    @jax.jit
+    def sync_only(bits, n_bits, st):
+        w, hc, nh, ring = jax.vmap(
+            partial(B.soft_frames_from_bits,
+                    max_hits=cfg.max_hits_per_block))(
+            bits, n_bits, st.ring)
+        return w.astype(jnp.int32).sum() + hc.sum() + nh.sum()
+
+    @jax.jit
     def full_step(re, im, st):
         spec, out, ns = bpsk_block_batch_spectrum(CF(re, im), cfg, st, None)
         return (spec.wf.sum() + spec.peak_db.sum()
@@ -113,6 +182,17 @@ def main():
            samples=samples)
     timeit(tail_only, ds.re, ds.im, states, tu_phase, tag="tail standalone",
            samples=samples)
+    timeit(vco_mf_only, ds.re, ds.im, states, tag="tail: vco+mf only",
+           samples=samples)
+    timeit(post_mf_only, mf_pre.re, mf_pre.im, states, tu_phase, vco_pre,
+           mft_pre, tag="tail: post-mf (timing/sync/extract)",
+           samples=samples)
+    timeit(timing_only, mf_pre.re, mf_pre.im, states,
+           tag="tail: timing recovery only", samples=samples)
+    timeit(compact_only, vpre, bpre, tag="tail: bit compaction only",
+           samples=samples)
+    timeit(sync_only, bits_pre, nb_pre, states,
+           tag="tail: sync+extract only", samples=samples)
     timeit(full_step, iq.re, iq.im, states, tag="full merged step",
            samples=samples)
 
