@@ -189,6 +189,21 @@ def main():
            samples=samples)
     timeit(timing_only, mf_pre.re, mf_pre.im, states,
            tag="tail: timing recovery only", samples=samples)
+
+    from jsdr_tpu.ops.timing_kernel import timing_recover_batch
+
+    @jax.jit
+    def timing_kernel_only(mfr, mfi, st):
+        tm = st.timing
+        v, bt, ema, pk, npk, eo, liq = timing_recover_batch(
+            mfr, mfi, tm.e_ema, tm.peak, tm.new_peak, tm.e_out,
+            tm.last_iq, smooth1=B.BIT_SMOOTH1, smooth2=B.BIT_SMOOTH2,
+            gate=B.ENERGY_GATE)
+        return (v.sum() + bt.sum() + ema.sum() + pk.sum() + eo.sum()
+                + liq.sum())
+
+    timeit(timing_kernel_only, mf_pre.re, mf_pre.im, states,
+           tag="tail: timing KERNEL only", samples=samples)
     timeit(compact_only, vpre, bpre, tag="tail: bit compaction only",
            samples=samples)
     timeit(sync_only, bits_pre, nb_pre, states,

@@ -686,6 +686,72 @@ def _bpsk_post(ds: CF, state: BpskState, tu_phase, ds_tail: CF, ft_state,
                          ft_state, t_len, max_hits, compat_scan)
 
 
+def _bpsk_post_mf_batch(mf: CF, states: BpskState, tu_phase, ds_tail: CF,
+                        mf_tail: CF, vco_idx, ft_state, *, t_len: int,
+                        max_hits: int, compat_scan: bool, use_pallas: bool):
+    """Batched chain from the matched-filter output onward. On the
+    kernel path the timing recovery runs as ONE VMEM-resident Pallas
+    call over all streams (ops.timing_kernel — its EMA carry composes
+    in a different fp order than _timing_parallel's, so compat_scan
+    keeps the XLA form); compaction and sync search stay vmapped XLA."""
+    if use_pallas and not compat_scan:
+        from ..ops.timing_kernel import timing_recover_batch
+
+        interpret = jax.devices()[0].platform == "cpu"
+        (valid, bit, e_ema_f, peak_f, new_peak_f,
+         e_out_f, fin_iq) = timing_recover_batch(
+            mf.re, mf.im, states.timing.e_ema, states.timing.peak,
+            states.timing.new_peak, states.timing.e_out,
+            states.timing.last_iq, smooth1=BIT_SMOOTH1,
+            smooth2=BIT_SMOOTH2, gate=ENERGY_GATE, interpret=interpret)
+        timing = TimingState(e_ema=e_ema_f, pos=states.timing.pos,
+                             peak=peak_f, new_peak=new_peak_f,
+                             e_out=e_out_f, last_iq=fin_iq)
+        ds_len = mf.shape[-1]
+        max_bits = 2 * (ds_len // SAMPLES_PER_BIT) + 2
+
+        def back(valid1, bit1, tm1, st1, tup1, dst1, mft1, vci1, ft1):
+            bits, n_bits = _compact_bits(valid1, bit1, max_bits)
+            windows, hit_corr, n_hits, ring = soft_frames_from_bits(
+                bits, n_bits, st1.ring, max_hits)
+            counters = st1.counters + jnp.stack(
+                [t_len, ds_len, n_bits, n_hits]).astype(jnp.int32)
+            out = BpskBlockOut(
+                windows=windows, hit_corr=hit_corr, n_hits=n_hits,
+                bits=bits, n_bits=n_bits,
+                energies=jnp.stack([tm1.e_out,
+                                    jnp.max(hit_corr).astype(jnp.float32)]))
+            new_state = BpskState(tup1, dst1, vci1, mft1, tm1, ring,
+                                  counters, ft1)
+            return out, new_state
+
+        return jax.vmap(back)(valid, bit, timing, states, tu_phase,
+                              ds_tail, mf_tail, vco_idx, ft_state)
+    post = partial(_bpsk_post_mf, t_len=t_len, max_hits=max_hits,
+                   compat_scan=compat_scan)
+    return jax.vmap(post)(mf, states, tu_phase, ds_tail, mf_tail,
+                          vco_idx, ft_state)
+
+
+def _bpsk_post_batch(ds: CF, states: BpskState, tu_phase, ds_tail: CF,
+                     ft_state, *, t_len: int, max_hits: int,
+                     compat_scan: bool, use_pallas: bool):
+    """Batched decimated-domain chain (see _bpsk_post): per-stream
+    VCO+matched filter, then the batched timing-recovery dispatch."""
+    def front(ds1, st1):
+        bb, vi = _vco_mix(ds1, st1.vco_idx)
+        mf1, mft1 = fir_apply_streaming(
+            bb, jnp.asarray(DM_FILTER.astype(np.float32)), st1.mf_tail,
+            precision="highest" if compat_scan else "bf16x3")
+        return mf1, vi, mft1
+
+    mf, vco_idx, mf_tail = jax.vmap(front)(ds, states)
+    return _bpsk_post_mf_batch(mf, states, tu_phase, ds_tail, mf_tail,
+                               vco_idx, ft_state, t_len=t_len,
+                               max_hits=max_hits, compat_scan=compat_scan,
+                               use_pallas=use_pallas)
+
+
 def _vco_pattern(vco_idx: jnp.ndarray):
     """[S, 128] VCO quadrature patterns for the fused front-end kernel:
     decimated position p has phase index (vco_idx + p) % 8, and chunk
@@ -844,13 +910,14 @@ def _bpsk_block_batched(iq, states: BpskState, tunings, dofft, track_high,
 
     if fuse_mf:
         vco_idx = (states.vco_idx + (t_len // m)) % 8
-        post = partial(_bpsk_post_mf, t_len=t_len, max_hits=max_hits,
-                       compat_scan=compat_scan)
-        return jax.vmap(post)(x, states, tu_phase, ds_tail, mf_tail,
-                              vco_idx, ft_state)
-    post = partial(_bpsk_post, t_len=t_len, max_hits=max_hits,
-                   compat_scan=compat_scan)
-    return jax.vmap(post)(x, states, tu_phase, ds_tail, ft_state)
+        return _bpsk_post_mf_batch(x, states, tu_phase, ds_tail, mf_tail,
+                                   vco_idx, ft_state, t_len=t_len,
+                                   max_hits=max_hits,
+                                   compat_scan=compat_scan,
+                                   use_pallas=use_pallas)
+    return _bpsk_post_batch(x, states, tu_phase, ds_tail, ft_state,
+                            t_len=t_len, max_hits=max_hits,
+                            compat_scan=compat_scan, use_pallas=use_pallas)
 
 
 def bpsk_block(iq, cfg: BpskConfig, state: BpskState,
@@ -897,10 +964,9 @@ def _bpsk_spectrum_batched(iq, states: BpskState, tunings, *, rate: int,
         use_pallas=use_pallas,
         precision="highest" if compat_scan else "bf16x3")
     tu_phase = _nco_advance(states.tu_phase, tunings, rate, t_len)
-    post = partial(_bpsk_post, t_len=t_len, max_hits=max_hits,
-                   compat_scan=compat_scan)
-    out, new_states = jax.vmap(post)(ds, states, tu_phase, ds_tail,
-                                     states.fft_tuner)
+    out, new_states = _bpsk_post_batch(
+        ds, states, tu_phase, ds_tail, states.fft_tuner, t_len=t_len,
+        max_hits=max_hits, compat_scan=compat_scan, use_pallas=use_pallas)
     n1 = n // 128
     k_nat = n1 * (idx % 128) + idx // 128
     signed = jnp.where(k_nat < n // 2, k_nat, k_nat - n)
