@@ -185,6 +185,24 @@ def _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2, *, precision: str):
             dot(w1r, ai) + dot(w1i, ar))
 
 
+def _spec_stage1_to_scratch(a3r, a3i, w1r, w1i, w1s1, w1s2, sbr, sbi, *,
+                            n1: int, n2: int, precision: str):
+    """Stage 1 for all 8 rows of one FFT block, written into the tail
+    scratch. The rows' [n1, n2] lane-splits concatenate into ONE
+    [n1, 8*n2] operand, so stage 1 is 3 (Karatsuba) MXU dots 8 tiles
+    wide instead of 24 tile-narrow dots (the small-matmul wall);
+    results de-concat with aligned 128-lane slices. MXU rows are
+    independent, so values are bit-identical to the per-row form
+    (verified: bench/exp_r5_s1concat.py, dwf=0)."""
+    ar = jnp.concatenate([a3r[r] for r in range(_SPEC_ROWS)], axis=1)
+    ai = jnp.concatenate([a3i[r] for r in range(_SPEC_ROWS)], axis=1)
+    br, bi = _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2,
+                          precision=precision)
+    for r in range(_SPEC_ROWS):
+        sbr[r, :n1] = br[:, r * n2:(r + 1) * n2]
+        sbi[r, :n1] = bi[:, r * n2:(r + 1) * n2]
+
+
 def _spec_tail_batched(brv, biv, twr, twi, w2r, w2i, w2s1, w2s2, *,
                        n1: int, n2: int, q: int, precision: str):
     """Twiddle + stage 2 + PSD + waterfall-decimate + peak for ALL rows
@@ -359,11 +377,9 @@ def _spectrum_wf_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
             _SPEC_ROWS, n1, n2)
         a3i = (x_im[:, b * n:(b + 1) * n] * win[...]).reshape(
             _SPEC_ROWS, n1, n2)
-        for r in range(_SPEC_ROWS):
-            br, bi = _spec_stage1(a3r[r], a3i[r], w1r[...], w1i[...],
-                                  w1s1[...], w1s2[...], precision=precision)
-            sbr[r, :n1] = br
-            sbi[r, :n1] = bi
+        _spec_stage1_to_scratch(a3r, a3i, w1r[...], w1i[...], w1s1[...],
+                                w1s2[...], sbr, sbi, n1=n1, n2=n2,
+                                precision=precision)
         wf, mx, idx = _spec_tail_batched(
             sbr[...], sbi[...], twr[...], twi[...], w2r[...], w2i[...],
             w2s1[...], w2s2[...], n1=n1, n2=n2, q=wf_group,
@@ -822,11 +838,9 @@ def _spec_front_kernel(xr_ref, xi_ref, t0r_ref, t0i_ref, cos_ref, sin_ref,
             _SPEC_ROWS, n1, n2)
         a3i = (xi_ref[:, b * n:(b + 1) * n] * win[...]).reshape(
             _SPEC_ROWS, n1, n2)
-        for r in range(_SPEC_ROWS):
-            br, bi = _spec_stage1(a3r[r], a3i[r], w1r[...], w1i[...],
-                                  w1s1[...], w1s2[...], precision=precision)
-            sbr[r, :n1] = br
-            sbi[r, :n1] = bi
+        _spec_stage1_to_scratch(a3r, a3i, w1r[...], w1i[...], w1s1[...],
+                                w1s2[...], sbr, sbi, n1=n1, n2=n2,
+                                precision=precision)
         wf, mx, idx = _spec_tail_batched(
             sbr[...], sbi[...], twr[...], twi[...], w2r[...], w2i[...],
             w2s1[...], w2s2[...], n1=n1, n2=n2, q=wf_group,
