@@ -185,19 +185,27 @@ def _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2, *, precision: str):
             dot(w1r, ai) + dot(w1i, ar))
 
 
-def _spec_stage1_to_scratch(a3r, a3i, w1r, w1i, w1s1, w1s2, sbr, sbi, *,
-                            n1: int, n2: int, precision: str):
-    """Stage 1 for all 8 rows of one FFT block, written into the tail
-    scratch. The rows' [n1, n2] lane-splits concatenate into ONE
-    [n1, 8*n2] operand, so stage 1 is 3 (Karatsuba) MXU dots 8 tiles
-    wide instead of 24 tile-narrow dots (the small-matmul wall);
-    results de-concat with aligned 128-lane slices. MXU rows are
-    independent, so values are bit-identical to the per-row form
-    (verified: bench/exp_r5_s1concat.py, dwf=0)."""
+def _spec_stage1_concat(a3r, a3i, w1r, w1i, w1s1, w1s2, *, precision: str):
+    """Stage 1 for all 8 rows of one FFT block in one wide contraction.
+    The rows' [n1, n2] lane-splits concatenate into ONE [n1, 8*n2]
+    operand, so stage 1 is 3 (Karatsuba) MXU dots 8 tiles wide instead
+    of 24 tile-narrow dots (the small-matmul wall); callers de-concat
+    with aligned 128-lane slices (row r = lanes [r*n2, (r+1)*n2)). MXU
+    rows are independent, so values are bit-identical to the per-row
+    form on TPU (verified: bench/exp_r5_s1concat.py, dwf=0); ALL
+    spectrum kernels use this form so they also agree bit-for-bit in
+    CPU interpret mode, where dot blocking depends on operand width."""
     ar = jnp.concatenate([a3r[r] for r in range(_SPEC_ROWS)], axis=1)
     ai = jnp.concatenate([a3i[r] for r in range(_SPEC_ROWS)], axis=1)
-    br, bi = _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2,
-                          precision=precision)
+    return _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2, precision=precision)
+
+
+def _spec_stage1_to_scratch(a3r, a3i, w1r, w1i, w1s1, w1s2, sbr, sbi, *,
+                            n1: int, n2: int, precision: str):
+    """Lane-concat stage 1 (see _spec_stage1_concat) written into the
+    batched-tail VMEM scratch."""
+    br, bi = _spec_stage1_concat(a3r, a3i, w1r, w1i, w1s1, w1s2,
+                                 precision=precision)
     for r in range(_SPEC_ROWS):
         sbr[r, :n1] = br[:, r * n2:(r + 1) * n2]
         sbi[r, :n1] = bi[:, r * n2:(r + 1) * n2]
@@ -264,94 +272,6 @@ def _spec_pad_rows(n1: int, q: int) -> int:
     return -(-n1 // align) * align
 
 
-def _spec_row(ar, ai, w1r, w1i, w1s1, w1s2, twr, twi,
-              w2r, w2i, w2s1, w2s2, *, n1: int, n2: int,
-              precision: str, wf_group: int):
-    """One row's two-stage matmul FFT + PSD reduction (shared by the
-    spectrum-only and the merged spectrum+front-end kernels).
-
-    ar/ai: [n1, n2] row views, already windowed and lane-split by the
-    caller (the [rows, n] -> [rows, n1, n2] lane split at the 128
-    boundary is the Mosaic-supported relayout; a flat [n] -> [n1, n2]
-    cast is NOT). Returns (psd_or_dec, mx, cand) where psd_or_dec is the
-    [n1, n2] dB PSD (wf_group=0) or the [n1//wf_group, n2] natural-order
-    max-decimated dB line, mx the peak (dB), cand the per-lane
-    flat-index candidates (min = argmax)."""
-    import jax.lax as lax
-
-    n = n1 * n2
-    dot = _make_spec_dot(precision)
-    karatsuba = precision == "bf16x3"
-    cf = np.float32((2.0 / n) ** 2)
-    # the PSD is emitted in [k1, k2] (permuted) order — transpose+flatten
-    # back to natural frequency order is not a supported Mosaic relayout;
-    # callers recover natural indices as n1*k2 + k1.
-    dn = (((1,), (1,)), ((), ()))
-    # stage 1: B = W1 @ A   [n1, n1] @ [n1, n2] — Karatsuba 3-product
-    # complex matmul under bf16x3 (host-precomputed W sums): re = T0 -
-    # (Wr+Wi)@Ai, im = T0 + (Wi-Wr)@Ar with T0 = Wr@(Ar+Ai) — 25% fewer
-    # MXU passes than the 4-product form; cancellation error stays under
-    # the display budget (measured, see spectrum_fused docstring)
-    br, bi = _spec_stage1(ar, ai, w1r, w1i, w1s1, w1s2,
-                          precision=precision)
-    # twiddle [k1, n2]
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
-    # stage 2: D[k1, k2] = sum_n2 C[k1, n2] W2[k2, n2]
-    if karatsuba:
-        t0 = dot(cr + ci, w2r, dn)
-        dr = t0 - dot(ci, w2s1, dn)
-        di = t0 + dot(cr, w2s2, dn)
-    else:
-        dr = dot(cr, w2r, dn) - dot(ci, w2i, dn)
-        di = dot(cr, w2i, dn) + dot(ci, w2r, dn)
-    power = (dr * dr + di * di) * cf
-    if wf_group:
-        # waterfall mode: natural-order max-decimation WITHOUT a
-        # transpose (natural bin = n1*k2 + k1 — a sublane-group max IS
-        # a natural-order decimation) and everything reduces on raw
-        # POWER: log10 is monotone, so log(max) == max(log) exactly and
-        # the transcendental count drops by the decimation factor.
-        g = n1 // wf_group
-        dec = jnp.max(power.reshape(g, wf_group, n2), axis=1)
-        out = 10.0 * jnp.log10(jnp.maximum(dec, _EPS))
-        peak_src = power
-    else:
-        out = 10.0 * jnp.log10(jnp.maximum(power, _EPS))
-        peak_src = out
-    # fused peak search: per-column first argmax, then the minimum flat
-    # permuted index among columns that reach the global max — identical
-    # values and tie-break to jnp.argmax over the flat PSD
-    col_max = jnp.max(peak_src, axis=0)                      # [n2]
-    col_arg = jnp.argmax(peak_src, axis=0).astype(jnp.int32)  # first k1
-    mx_raw = jnp.max(col_max)
-    mx = (10.0 * jnp.log10(jnp.maximum(mx_raw, _EPS)) if wf_group
-          else mx_raw)
-    lane = lax.broadcasted_iota(jnp.int32, (1, n2), 1)[0]
-    cand = jnp.where(col_max == mx_raw, col_arg * n2 + lane,
-                     jnp.int32(n1 * n2))
-    return out, mx, cand
-
-
-def _spectrum_fused_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
-                           twr, twi, w2r, w2i, w2s1, w2s2,
-                           psd_ref, mx_ref, idx_ref, *, n1: int, n2: int,
-                           precision: str = "highest", wf_group: int = 0):
-    a3r = (x_re[...] * win[...]).reshape(_SPEC_ROWS, n1, n2)
-    a3i = (x_im[...] * win[...]).reshape(_SPEC_ROWS, n1, n2)
-    for r in range(_SPEC_ROWS):
-        out, mx, cand = _spec_row(
-            a3r[r], a3i[r], w1r[...], w1i[...], w1s1[...],
-            w1s2[...], twr[...], twi[...], w2r[...], w2i[...], w2s1[...],
-            w2s2[...], n1=n1, n2=n2, precision=precision,
-            wf_group=wf_group)
-        psd_ref[0, r] = out
-        # scalar results broadcast across a 128-lane output row (Mosaic
-        # requires 128-divisible output lanes); callers read lane 0
-        mx_ref[0, r] = jnp.full((128,), mx, jnp.float32)
-        idx_ref[0, r] = jnp.full((128,), jnp.min(cand), jnp.int32)
-
-
 def _spectrum_wf_kernel(x_re, x_im, win, w1r, w1i, w1s1, w1s2,
                         twr, twi, w2r, w2i, w2s1, w2s2,
                         wf_ref, mx_ref, idx_ref, sbr, sbi, *, n1: int,
@@ -404,7 +324,6 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3",
     n2 = 128
     n1 = n // n2
     nblk = t // n
-    n1_out = n1 // wf_group if wf_group else n1
     w1r, w1i = _dft_mats(n1, -1.0)
     twr, twi = _twiddles(n1, n2, -1.0)
     w2r, w2i = _dft_mats(n2, -1.0)
@@ -425,72 +344,41 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3",
 
     const = lambda z: pl.BlockSpec(z.shape, lambda i, j: (0,) * z.ndim,
                                    memory_space=pltpu.VMEM)
-    if wf_group:
-        # waterfall mode: scratch-batched tail, multi-block grid steps,
-        # parallel/arbitrary semantics (measured winner, exp_r4_spec3)
-        p_pad = _spec_pad_rows(n1, wf_group)
-        twr_p = np.zeros((p_pad, n2), np.float32)
-        twi_p = np.zeros((p_pad, n2), np.float32)
-        twr_p[:n1], twi_p[:n1] = twr, twi
-        twr, twi = twr_p, twi_p
-        nblk_step = next(k for k in (4, 2, 1) if nblk % k == 0)
-        consts = [jnp.asarray(win[None, :])] + [
-            jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
-                                     w2r, w2i, w2s1, w2s2)]
-        kernel = functools.partial(
-            _spectrum_wf_kernel, n1=n1, n2=n2, p_pad=p_pad,
-            nblk_step=nblk_step, precision=precision, wf_group=wf_group)
-        wf, mx, idx = pl.pallas_call(
-            kernel,
-            grid=(sp // rows, nblk // nblk_step),
-            in_specs=[
-                pl.BlockSpec((rows, n * nblk_step), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, n * nblk_step), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM),
-            ] + [const(z) for z in consts],
-            out_specs=[
-                pl.BlockSpec((nblk_step, rows, n1_out, n2),
-                             lambda i, j: (j, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nblk_step, rows, 128), lambda i, j: (j, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nblk_step, rows, 128), lambda i, j: (j, i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((nblk, sp, n1_out, n2), jnp.float32),
-                jax.ShapeDtypeStruct((nblk, sp, 128), jnp.float32),
-                jax.ShapeDtypeStruct((nblk, sp, 128), jnp.int32),
-            ],
-            scratch_shapes=[pltpu.VMEM((rows, p_pad, n2), jnp.float32),
-                            pltpu.VMEM((rows, p_pad, n2), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary")),
-            interpret=interpret,
-        )(re, im, *consts)
-        return wf[:, :s], mx[:, :s, 0], idx[:, :s, 0]
-
+    # both modes run the SAME scratch-batched kernel (multi-block
+    # grid steps, parallel/arbitrary semantics — measured winner,
+    # exp_r4_spec3); full-PSD mode is decimation group q=1, so the
+    # waterfall output is bit-exactly the full PSD max-decimated on
+    # every backend (one expression graph, not two)
+    wf_group = wf_group or 1
+    n1_out = n1 // wf_group
+    p_pad = _spec_pad_rows(n1, wf_group)
+    twr_p = np.zeros((p_pad, n2), np.float32)
+    twi_p = np.zeros((p_pad, n2), np.float32)
+    twr_p[:n1], twi_p[:n1] = twr, twi
+    twr, twi = twr_p, twi_p
+    nblk_step = next(k for k in (4, 2, 1) if nblk % k == 0)
     consts = [jnp.asarray(win[None, :])] + [
         jnp.asarray(z) for z in (w1r, w1i, w1s1, w1s2, twr, twi,
                                  w2r, w2i, w2s1, w2s2)]
-    kernel = functools.partial(_spectrum_fused_kernel, n1=n1, n2=n2,
-                               precision=precision, wf_group=wf_group)
-    psd, mx, idx = pl.pallas_call(
+    kernel = functools.partial(
+        _spectrum_wf_kernel, n1=n1, n2=n2, p_pad=p_pad,
+        nblk_step=nblk_step, precision=precision, wf_group=wf_group)
+    wf, mx, idx = pl.pallas_call(
         kernel,
-        grid=(sp // rows, nblk),
+        grid=(sp // rows, nblk // nblk_step),
         in_specs=[
-            pl.BlockSpec((rows, n), lambda i, j: (i, j),
+            pl.BlockSpec((rows, n * nblk_step), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, n), lambda i, j: (i, j),
+            pl.BlockSpec((rows, n * nblk_step), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ] + [const(z) for z in consts],
         out_specs=[
-            pl.BlockSpec((1, rows, n1_out, n2), lambda i, j: (j, i, 0, 0),
+            pl.BlockSpec((nblk_step, rows, n1_out, n2),
+                         lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 128), lambda i, j: (j, i, 0),
+            pl.BlockSpec((nblk_step, rows, 128), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 128), lambda i, j: (j, i, 0),
+            pl.BlockSpec((nblk_step, rows, 128), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -498,12 +386,14 @@ def _spectrum_fused_jit(re, im, n, window, interpret, precision="bf16x3",
             jax.ShapeDtypeStruct((nblk, sp, 128), jnp.float32),
             jax.ShapeDtypeStruct((nblk, sp, 128), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((rows, p_pad, n2), jnp.float32),
+                        pltpu.VMEM((rows, p_pad, n2), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(re, im, *consts)
-    # [nblk, S, k1, k2] permuted order + per-block peak (db, flat index)
-    return psd[:, :s], mx[:, :s, 0], idx[:, :s, 0]
+    # [nblk, S, k1(/q), k2] permuted order + per-block peak
+    return wf[:, :s], mx[:, :s, 0], idx[:, :s, 0]
 
 
 def spectrum_fused(iq, n: int, window: bool = True,

@@ -352,11 +352,9 @@ def test_spectrum_waterfall_matches_decimated_psd(rng):
     nat = np.asarray(spectrum_natural_order(psd))     # [S, nblk, n]
     ref = nat.reshape(8, 3, n // q, q).max(axis=-1)
     got = np.asarray(waterfall_natural_order(wf))
-    # near-equality, not bit-equality: the waterfall kernel batches its
-    # stage-2 matmul over all 8 rows ([R*P, 128] vs the full-PSD
-    # kernel's per-row [n1, 128]), and XLA CPU picks different dot
-    # blocking per shape. The decimation identities themselves
-    # (natural-order grouping, max-then-log == log-then-max) are exact —
-    # the peaks above match bit-for-bit.
-    np.testing.assert_allclose(got, ref, atol=1e-4)
+    # bit-equality on every backend: both modes run the SAME scratch-
+    # batched kernel (full-PSD mode is decimation group q=1), so the
+    # decimation identities (natural-order grouping, max-then-log ==
+    # log-then-max) apply to one expression graph, not two.
+    assert np.array_equal(got, ref)
     assert wf_group_for(19200) == 10                  # 192 kS/s FFT size
