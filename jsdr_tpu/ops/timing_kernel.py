@@ -84,26 +84,39 @@ def _timing_kernel(fi_ref, fq_ref, ema0_ref, misc_ref, tri_ref, pw_ref,
     mask_r = (j * g_blk + lane_r) < g_len
     b = jnp.where(mask_r, e1f * f32(s1), 0.0)
 
-    # ---- EMA trajectories: chunked triangular matmuls over lanes with a
-    # sequential 128-group carry (pw[l] = a^(l+1); tri[jj, l] = a^(l-jj)
-    # for jj <= l). Matches _const_ema_trajectory up to carry-composition
-    # fp order.
+    # ---- EMA trajectories: ONE batched triangular matmul over all
+    # 128-lane chunks (pw[l] = a^(l+1); tri[jj, l] = a^(l-jj) for
+    # jj <= l) — [r*nk, 128] @ [128, 128] instead of nk serially-
+    # dependent [r, 128] dots. The inter-chunk carry recurrence
+    # z_k = x_k + a^128 * z_{k-1} (x_k = local_k[127]) resolves as a
+    # log-depth sublane-roll scan, so the MXU never waits on a carry.
+    # Matches _const_ema_trajectory up to carry-composition fp order
+    # (tree instead of serial — same contract as before).
     lane128 = lax.broadcasted_iota(jnp.int32, (r, 128), 1)
     pw1 = jnp.max(pw_ref[...], axis=0, keepdims=True)        # [1, 128]
-    carry = jnp.sum(jnp.where(lane128 == 0, cema[...], 0.0), axis=1,
-                    keepdims=True)                           # [64, 1]
-    ys = []
-    for k in range(g_blk // 128):
-        bk = b[:, 128 * k:128 * (k + 1)]
-        local = jnp.dot(bk, tri_ref[...],
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=f32)
-        y = local + carry * pw1
-        ys.append(y)
-        carry = jnp.sum(jnp.where(lane128 == 127, y, 0.0), axis=1,
-                        keepdims=True)
-    traj = jnp.concatenate(ys, axis=1)             # [64, GB]
-    cema[...] = jnp.broadcast_to(carry, (r, 128))
+    nk = g_blk // 128
+    b3 = b.reshape(r, nk, 128).reshape(r * nk, 128)  # row = nk*row_r + k
+    local = jnp.dot(b3, tri_ref[...],
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)              # [r*nk, 128]
+    lanes = lax.broadcasted_iota(jnp.int32, (r * nk, 128), 1)
+    x = jnp.broadcast_to(
+        jnp.sum(jnp.where(lanes == 127, local, 0.0), axis=1,
+                keepdims=True), (r * nk, 128))               # x_k, bcast
+    cema_all = jnp.broadcast_to(cema[...].reshape(r, 1, 128),
+                                (r, nk, 128)).reshape(r * nk, 128)
+    k_idx = lax.broadcasted_iota(jnp.int32, (r * nk, 128), 0) % nk
+    a = 1.0 - s1
+    z = x + jnp.where(k_idx == 0, f32(a ** 128) * cema_all, 0.0)
+    s_ = 1
+    while s_ < nk:
+        z = z + f32(a ** (128 * s_)) * jnp.where(
+            k_idx >= s_, pltpu.roll(z, s_, 0), 0.0)
+        s_ *= 2
+    carry_in = jnp.where(k_idx == 0, cema_all, pltpu.roll(z, 1, 0))
+    traj = (local + carry_in * pw1).reshape(r, nk, 128).reshape(r, g_blk)
+    cema[...] = jnp.sum(
+        jnp.where(k_idx == nk - 1, z, 0.0).reshape(r, nk, 128), axis=1)
 
     # ---- per-phase planes of the merged view ([8, GB] each): sublane-
     # masked reductions over the (s, p) row grouping
