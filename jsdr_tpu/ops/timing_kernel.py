@@ -44,7 +44,7 @@ _ROWS = 8              # streams per grid step
 
 
 def _timing_kernel(fi_ref, fq_ref, ema0_ref, misc_ref, tri_ref, pw_ref,
-                   vb0_ref, vb1_ref, emaf_ref, miscf_ref, cema, cmisc, *,
+                   vb_ref, emaf_ref, miscf_ref, cema, cmisc, *,
                    g_len: int, g_blk: int, nb: int, e_last: int,
                    s1: float, s2: float, gate: float):
     """Mosaic-lowering notes: lane shifts are pltpu.roll + a lane-mask
@@ -209,10 +209,12 @@ def _timing_kernel(fi_ref, fq_ref, ema0_ref, misc_ref, tri_ref, pw_ref,
     dq1 = p1i * vq1 - p1q * vi1
     e20 = jnp.sqrt(di0 * di0 + dq0 * dq0)
     e21 = jnp.sqrt(di1 * di1 + dq1 * dq1)
-    vb0_ref[...] = (jnp.where(on0 & (e20 > f32(gate)), 2, 0)
-                    + jnp.where(di0 < 0.0, 1, 0)).astype(jnp.int32)
-    vb1_ref[...] = (jnp.where(on1 & (e21 > f32(gate)), 2, 0)
-                    + jnp.where(di1 < 0.0, 1, 0)).astype(jnp.int32)
+    # both slots pack into ONE i32 write (slot1 in bits 2-3): halves the
+    # kernel's HBM output traffic; the wrapper unpacks with two ANDs
+    vb_ref[...] = (jnp.where(on0 & (e20 > f32(gate)), 2, 0)
+                   + jnp.where(di0 < 0.0, 1, 0)
+                   + jnp.where(on1 & (e21 > f32(gate)), 8, 0)
+                   + jnp.where(di1 < 0.0, 4, 0)).astype(jnp.int32)
 
     # ---- e_out: only the final value matters; chain
     # y' = d^K * y + sum_t on_t * s2 * e1_t * d^(emissions after t
@@ -316,7 +318,7 @@ def _timing_recover_jit(fr, fi_, e_ema, peak, new_peak, e_out, last_iq,
     kernel = functools.partial(
         _timing_kernel, g_len=g, g_blk=g_blk, nb=nb, e_last=e_last,
         s1=float(s1), s2=float(s2), gate=float(gate))
-    vb0, vb1, emaf, miscf = pl.pallas_call(
+    vbp, emaf, miscf = pl.pallas_call(
         kernel,
         grid=(sp // rows, nb),
         in_specs=[
@@ -336,15 +338,12 @@ def _timing_recover_jit(fr, fi_, e_ema, peak, new_peak, e_out, last_iq,
         out_specs=[
             pl.BlockSpec((rows, g_blk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, g_blk), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rows * p, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((sp, g_pad), jnp.int32),
             jax.ShapeDtypeStruct((sp, g_pad), jnp.int32),
             jax.ShapeDtypeStruct((sp * p, 128), jnp.float32),
             jax.ShapeDtypeStruct((sp, 128), jnp.float32),
@@ -356,7 +355,8 @@ def _timing_recover_jit(fr, fi_, e_ema, peak, new_peak, e_out, last_iq,
         interpret=interpret,
     )(fpp_r, fpp_i, ema0, misc, jnp.asarray(tri), jnp.asarray(pw))
 
-    vb = jnp.stack([vb0[:s, :g], vb1[:s, :g]], axis=2).reshape(s, 2 * g)
+    vbp = vbp[:s, :g]
+    vb = jnp.stack([vbp & 3, vbp >> 2], axis=2).reshape(s, 2 * g)
     valid = vb >= 2
     bit = (vb & 1) == 1
     e_ema_f = emaf[:s * p, 0].reshape(s, p)
