@@ -318,3 +318,58 @@ def test_merged_spectrum_step_192k(rng):
     assert np.array_equal(np.asarray(out_m.windows),
                           np.asarray(out_s.windows))
     assert np.array_equal(np.asarray(st_m.counters), np.asarray(st_s.counters))
+
+
+def test_chained_fori_loop_steps_equal_iterated(rng):
+    """bench.py's steady-state measurement runs k dependent steps inside
+    ONE jit via lax.fori_loop, relying on the loop-carried state to keep
+    every iteration live (no loop-invariant hoisting) and on the forced
+    reduction to keep every output live (no DCE). Guard that contract:
+    k chained steps must produce bit-identical final state and the sum
+    of the per-step forced scalars."""
+    import jax
+    from jsdr_tpu.demod.bpsk import (bpsk_block_batch_spectrum,
+                                     bpsk_init_batch)
+
+    payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads[:1], rate=96000, preamble_bits=200,
+                            noise_rms=0.2)
+    block = 96000 * 2
+    n = block
+    iq = np.zeros((2, n), np.complex64)
+    iq[0] = sig[:n]
+    iq[1] = sig[len(sig) - n:]
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+
+    def forced_of(spec, out):
+        return (spec.wf.sum() + spec.peak_db.sum() + spec.peak_freq.sum()
+                + out.windows.astype(jnp.int32).sum() + out.hit_corr.sum()
+                + out.n_hits.sum() + out.n_bits.sum()).astype(jnp.float32)
+
+    k = 3
+
+    @jax.jit
+    def chained(iq, states):
+        def body(_, carry):
+            acc, st = carry
+            spec, out, st = bpsk_block_batch_spectrum(iq, cfg, st)
+            return acc + forced_of(spec, out), st
+        return jax.lax.fori_loop(0, k, body,
+                                 (jnp.float32(0.0), states))
+
+    @jax.jit
+    def one(iq, states):
+        spec, out, st = bpsk_block_batch_spectrum(iq, cfg, states)
+        return forced_of(spec, out), st
+
+    acc_c, st_c = chained(iq, bpsk_init_batch(cfg, 2))
+    acc_i, st_i = jnp.float32(0.0), bpsk_init_batch(cfg, 2)
+    for _ in range(k):
+        f, st_i = one(iq, st_i)
+        acc_i = acc_i + f
+    for a, b in zip(jax.tree.leaves(st_c), jax.tree.leaves(st_i)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(acc_c) == pytest.approx(np.asarray(acc_i), rel=1e-6)
+    # the state must actually advance (a hoisted loop would repeat step 1
+    # and triple-count one block's samples)
+    assert int(np.asarray(st_c.counters)[:, 0].sum()) == 2 * k * n
