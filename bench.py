@@ -140,10 +140,11 @@ def bench_192k(log):
     from jsdr_tpu.io.sources import synth_bpsk_stream
     from jsdr_tpu.ops.cplx import from_complex
 
-    # 64 streams x 10 s: the bpsk chain's scan stages need >=64 streams
-    # to fill the VPU sublanes — 32x5s measured 1117 MS/s on the chain
-    # alone vs 10099 MS/s at 64x10s (same per-sample work)
-    rate, n_streams, t_len = 192_000, 64, 1_920_000     # 10 s per stream
+    # 256 streams x 2.5 s: the measured optimum (bench/exp_r6_chain192
+    # sweep) — device time is superlinear in per-stream block length
+    # with a ~480k-sample sweet spot, and >=64 streams are needed to
+    # fill the VPU sublanes (32x5s measured 1117 MS/s vs 10099 at 64x10s)
+    rate, n_streams, t_len = 192_000, 256, 480_000      # 2.5 s per stream
     cfg = BpskConfig(rate=rate, tuning=12_000.0)
     rng = np.random.default_rng(3)
     base = synth_bpsk_stream(
@@ -199,8 +200,13 @@ def bench_192k(log):
     jax.block_until_ready(stc)
     dt_c = (time.time() - t0) / (m * k_chain)
     msps_c = n_streams * t_len / dt_c / 1e6
+    # cumulative sync hits over the m*k timed chained steps, from the
+    # carried per-stream counters — a 2.5 s step can't contain a whole
+    # 4.33 s frame, so per-step hit counts are only meaningful summed
+    hits_c = int(np.asarray(stc.counters)[:, 3].sum())
     log(f"192 kS/s steady-state ({m}x{k_chain} chained steps): "
-        f"{dt_c*1000:.2f} ms/step -> {msps_c:.0f} MS/s/chip sustained")
+        f"{dt_c*1000:.2f} ms/step -> {msps_c:.0f} MS/s/chip sustained "
+        f"(cumulative hits={hits_c})")
 
 
 def bench_demod(log):
@@ -260,8 +266,14 @@ def main():
     log(f"device: {dev}")
     ensure_tpu_ready(attempts=1)
 
-    n_streams = 64
-    t_len = 960_000                      # 10 s per stream at 96 kS/s
+    # 128 streams x 5 s: the measured throughput optimum
+    # (bench/exp_r6_chain.py sweep — device time is superlinear in
+    # per-stream block LENGTH, so the same 61.4M samples/step run 1.75x
+    # faster as 128x5s than as 64x10s; stream count scales cleanly).
+    # 5 s blocks are also closer to the executor's 1 s production
+    # default; telemetry state threads across steps either way.
+    n_streams = 128
+    t_len = 480_000                      # 5 s per stream at 96 kS/s
     rate = 96_000
     fft_n = 9_600                        # 0.1 s spectrum blocks (compat cadence)
     cfg = BpskConfig(rate=rate, tuning=12_000.0)
@@ -350,9 +362,11 @@ def main():
         jax.block_until_ready(stc)
         dt_chain = (time.time() - t0) / (m * k_chain)
         msps_chain = samples / dt_chain / 1e6
+        hits_chain = int(np.asarray(stc.counters)[:, 3].sum())
         log(f"steady-state ({m}x{k_chain} chained steps, one dispatch "
             f"per {k_chain}): {dt_chain*1000:.2f} ms/step -> "
-            f"{msps_chain:.0f} MS/s/chip sustained")
+            f"{msps_chain:.0f} MS/s/chip sustained "
+            f"(cumulative hits={hits_chain})")
         if msps_chain > msps:
             msps = msps_chain
     except Exception as e:  # noqa: BLE001
