@@ -46,7 +46,11 @@ def timeit(fn, *args, iters=20, tag="", samples=None):
 def main():
     ensure_tpu_ready(attempts=2)
     log(f"device: {jax.devices()[0]}")
-    rate, n_streams, t_len, fft_n = 96_000, 64, 960_000, 9_600
+    import os
+    rate, fft_n = 96_000, 9_600
+    n_streams = int(os.environ.get("JSDR_PROF_S", "64"))
+    t_len = int(os.environ.get("JSDR_PROF_T", "960000"))
+    log(f"shape: {n_streams} x {t_len/rate:.1f}s")
     m = rate // B.DOWN_SAMPLE_RATE
     samples = n_streams * t_len
     cfg = BpskConfig(rate=rate, tuning=12_000.0)
