@@ -4,7 +4,8 @@ signal generators (sine/noise/BPSK), raw recorder sink."""
 
 from .convert import s16le_to_complex, complex_to_s16le  # noqa: F401
 from .sources import (  # noqa: F401
-    FileSource, open_source, synth_sine, synth_noise, synth_bpsk_stream,
+    FileSource, open_source, read_wav, synth_sine, synth_noise,
+    synth_bpsk_stream,
 )
 from .framer import BlockFramer  # noqa: F401
 from .recorder import RawRecorder  # noqa: F401

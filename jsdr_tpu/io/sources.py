@@ -7,7 +7,6 @@ plus a full BPSK telemetry modulator for closed-loop decode tests).
 from __future__ import annotations
 
 import struct
-import wave
 from pathlib import Path
 from typing import Iterator, Optional
 
@@ -17,14 +16,76 @@ from ..fec.ref_numpy import encode_fec40
 from .convert import s16le_to_complex
 
 
+def read_wav(path: str | Path) -> tuple[np.ndarray, int, int]:
+    """Minimal RIFF/WAVE reader with format normalization — the analog of
+    the reference's AudioSystem format-conversion fallback, which accepts
+    any javax-convertible capture format and converts it to the S16
+    target (JavaAudio.java:369-395). Handles integer PCM at 8 (unsigned,
+    per the WAV spec), 16, 24 and 32 bits plus IEEE float 32/64
+    (format tag 3, which the stdlib ``wave`` module rejects) and
+    WAVE_FORMAT_EXTENSIBLE wrappers of both. Everything is normalized to
+    the 16-bit full-scale convention the FLAC path already uses
+    (wider widths shift down; 8-bit shifts up; float clips to +-1.0 and
+    scales by 32767 so downstream s/32767 recovers the value).
+
+    Returns (int16 interleaved samples, channels, rate).
+    """
+    raw = Path(path).read_bytes()
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = raw[pos:pos + 4], struct.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = list(struct.unpack_from("<HHIIHH", body, 0))
+            if fmt[0] == 0xFFFE and size >= 26:   # WAVE_FORMAT_EXTENSIBLE
+                fmt[0] = struct.unpack_from("<H", body, 24)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)              # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag == 1:                                  # integer PCM
+        if bits == 8:                             # unsigned by spec
+            s16 = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128)
+                   * 256)
+        elif bits == 16:
+            s16 = np.frombuffer(data, "<i2")
+        elif bits == 24:
+            b3 = np.frombuffer(data, np.uint8)[: len(data) // 3 * 3]
+            b3 = b3.reshape(-1, 3).astype(np.int32)
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            v = (v ^ 0x800000) - 0x800000         # sign-extend 24 -> 32
+            s16 = (v >> 8).astype(np.int16)
+        elif bits == 32:
+            s16 = (np.frombuffer(data, "<i4") >> 16).astype(np.int16)
+        else:
+            raise ValueError(f"{path}: unsupported PCM width {bits}")
+    elif tag == 3:                                # IEEE float
+        if bits == 32:
+            f = np.frombuffer(data, "<f4")
+        elif bits == 64:
+            f = np.frombuffer(data, "<f8")
+        else:
+            raise ValueError(f"{path}: unsupported float width {bits}")
+        s16 = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    else:
+        raise ValueError(f"{path}: unsupported WAV format tag {tag}")
+    return s16, int(channels), int(rate)
+
+
 class FileSource:
     """Streams complex64 IQ blocks from a raw S16LE, WAV, or FLAC file.
 
     ``loop=True`` rewinds at EOF like the reference's file sources. WAV
-    files are parsed with the stdlib reader (16-bit PCM only). FLAC is
-    decoded by the in-tree codec (io/flac.py, native fast path) — the
-    analog of the reference's transparent jflac javax SPI ingestion
-    (Makefile:9-10, JavaAudio.java:369-395).
+    files of any common width (8/16/24/32-bit PCM, 32/64-bit float) are
+    normalized to 16-bit full scale (``read_wav`` — the analog of the
+    reference's AudioSystem format-conversion fallback,
+    JavaAudio.java:369-395). FLAC is decoded by the in-tree codec
+    (io/flac.py, native fast path) — the analog of the reference's
+    transparent jflac javax SPI ingestion (Makefile:9-10).
     """
 
     def __init__(self, path: str | Path, rate: int = 96000, channels: int = 2,
@@ -36,12 +97,7 @@ class FileSource:
         self.q_corr = q_corr
         self.loop = loop
         if self.path.suffix.lower() == ".wav":
-            with wave.open(str(self.path), "rb") as w:
-                assert w.getsampwidth() == 2, "only 16-bit PCM WAV supported"
-                self.channels = w.getnchannels()
-                self.rate = w.getframerate()
-                self._data = np.frombuffer(
-                    w.readframes(w.getnframes()), dtype="<i2")
+            self._data, self.channels, self.rate = read_wav(self.path)
         elif self.path.suffix.lower() == ".flac":
             from .flac import read_flac
             samples, rate, bps = read_flac(self.path)

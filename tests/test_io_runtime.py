@@ -58,6 +58,67 @@ def test_file_source_raw_and_wav(tmp_path, rng):
     assert len(b0) == 4000
 
 
+def _write_wav(path, body: bytes, tag: int, channels: int, rate: int,
+               bits: int, extensible: bool = False):
+    """Hand-rolled WAV writer (the stdlib can't write float/extensible)."""
+    import struct
+    balign = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 0xFFFE if extensible else tag, channels,
+                      rate, rate * balign, balign, bits)
+    if extensible:
+        guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        fmt += struct.pack("<HHI", 22, bits, 0x3)
+        fmt += struct.pack("<H", tag) + guid_tail
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    path.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                     + chunks)
+
+
+def test_wav_width_fallback(tmp_path):
+    """JavaAudio.java:369-395 parity: any common WAV width converts to
+    the 16-bit full-scale convention (8/24/32-bit PCM, float 32/64,
+    extensible wrappers)."""
+    import struct
+    s16 = np.array([0, 1000, -1000, 32767, -32768, 12345], dtype=np.int16)
+
+    q8 = np.clip(np.round(s16 / 256.0), -128, 127).astype(np.int16)
+    cases = {
+        "w8.wav": (bytes((q8 + 128).astype(np.uint8)), 1, 8, False),
+        "w16.wav": (s16.tobytes(), 1, 16, False),
+        "w24.wav": (b"".join(struct.pack("<i", int(v) << 8)[:3] for v in s16),
+                    1, 24, False),
+        "w32.wav": ((s16.astype(np.int32) << 16).tobytes(), 1, 32, False),
+        "f32.wav": ((s16.astype(np.float32) / 32767.0).tobytes(), 3, 32,
+                    False),
+        "f64.wav": ((s16.astype(np.float64) / 32767.0).tobytes(), 3, 64,
+                    False),
+        "f32x.wav": ((s16.astype(np.float32) / 32767.0).tobytes(), 3, 32,
+                     True),
+    }
+    for name, (body, tag, bits, ext) in cases.items():
+        p = tmp_path / name
+        _write_wav(p, body, tag, 2, 48000, bits, extensible=ext)
+        got, channels, rate = sources.read_wav(p)
+        assert (channels, rate) == (2, 48000), name
+        if bits == 8:
+            # 8-bit keeps only the top byte: compare at that resolution
+            assert np.array_equal(got >> 8, q8), name
+        elif tag == 3:
+            # float clips to +-1.0, so -32768 lands on -32767
+            assert np.array_equal(got, np.maximum(s16, -32767)), name
+        else:
+            assert np.array_equal(got, s16), name
+        # and the FileSource front door consumes it (3 IQ pairs)
+        src = sources.FileSource(p)
+        assert src.all().shape == (3,) and src.rate == 48000, name
+
+    bad = tmp_path / "bad.wav"
+    _write_wav(bad, s16.tobytes(), 0x55, 2, 48000, 16)
+    with pytest.raises(ValueError):
+        sources.read_wav(bad)
+
+
 def test_reference_wav_fixture():
     src = sources.FileSource("/root/reference/sine4410.wav")
     assert src.rate == 44100 and src.channels == 2
