@@ -844,6 +844,44 @@ def _front_manual(iq, states: BpskState, tunings, *, rate: int,
     return ds, ds_tail, None, tu_phase, states.fft_tuner
 
 
+def _front_dispatch(iq, states: BpskState, tunings, dofft, track_high, *,
+                    rate: int, mix_mode: str, static_tunings,
+                    use_pallas: bool, compat_scan: bool, fuse_mf: bool):
+    """Select and run the full-rate front end(s) for a batch: manual
+    NCO mix (pattern/general/static), FFT auto-tune (dofft), or both
+    with per-stream selection (``mixed:<manual_mode>``). Shared by the
+    single-chip batch and the pipeline's stage 0. Returns
+    (x, ds_tail, mf_tail, tu_phase, ft_state) with x the decimated
+    stream (or the matched-filter output when fuse_mf)."""
+    s = iq.shape[0]
+    if mix_mode == "dofft":
+        return _front_dofft(
+            iq, states, track_high, rate=rate, use_pallas=use_pallas,
+            compat_scan=compat_scan, fuse_mf=fuse_mf)
+    if mix_mode.startswith("mixed:"):
+        manual_mode = mix_mode[len("mixed:"):]
+        x_f, tail_f, mft_f, _ph_f, ft_f = _front_dofft(
+            iq, states, track_high, rate=rate, use_pallas=use_pallas,
+            compat_scan=compat_scan, fuse_mf=fuse_mf)
+        x_m, tail_m, mft_m, ph_m, _ft_m = _front_manual(
+            iq, states, tunings, rate=rate, manual_mode=manual_mode,
+            static_tunings=static_tunings, use_pallas=use_pallas,
+            compat_scan=compat_scan, fuse_mf=fuse_mf)
+        sel = lambda a, b: jnp.where(
+            dofft.reshape((s,) + (1,) * (a.ndim - 1)), a, b)
+        x = CF(sel(x_f.re, x_m.re), sel(x_f.im, x_m.im))
+        ds_tail = CF(sel(tail_f.re, tail_m.re), sel(tail_f.im, tail_m.im))
+        mf_tail = (CF(sel(mft_f.re, mft_m.re), sel(mft_f.im, mft_m.im))
+                   if fuse_mf else None)
+        tu_phase = jnp.where(dofft, states.tu_phase, ph_m)
+        ft_state = jax.tree.map(sel, ft_f, states.fft_tuner)
+        return x, ds_tail, mf_tail, tu_phase, ft_state
+    return _front_manual(
+        iq, states, tunings, rate=rate, manual_mode=mix_mode,
+        static_tunings=static_tunings, use_pallas=use_pallas,
+        compat_scan=compat_scan, fuse_mf=fuse_mf)
+
+
 @partial(jax.jit, static_argnames=("rate", "mix_mode", "static_tunings",
                                    "max_hits", "compat_scan",
                                    "use_pallas", "cfg_fuse_mf"))
@@ -881,32 +919,10 @@ def _bpsk_block_batched(iq, states: BpskState, tunings, dofft, track_high,
     # go through mix_decimate and the non-compat timing path
     fuse_mf = (cfg_fuse_mf and use_pallas and not compat_scan
                and mix_mode in ("dofft", "pattern", "mixed:pattern"))
-    if mix_mode == "dofft":
-        x, ds_tail, mf_tail, tu_phase, ft_state = _front_dofft(
-            iq, states, track_high, rate=rate, use_pallas=use_pallas,
-            compat_scan=compat_scan, fuse_mf=fuse_mf)
-    elif mix_mode.startswith("mixed:"):
-        manual_mode = mix_mode[len("mixed:"):]
-        x_f, tail_f, mft_f, _ph_f, ft_f = _front_dofft(
-            iq, states, track_high, rate=rate, use_pallas=use_pallas,
-            compat_scan=compat_scan, fuse_mf=fuse_mf)
-        x_m, tail_m, mft_m, ph_m, _ft_m = _front_manual(
-            iq, states, tunings, rate=rate, manual_mode=manual_mode,
-            static_tunings=static_tunings, use_pallas=use_pallas,
-            compat_scan=compat_scan, fuse_mf=fuse_mf)
-        sel = lambda a, b: jnp.where(
-            dofft.reshape((s,) + (1,) * (a.ndim - 1)), a, b)
-        x = CF(sel(x_f.re, x_m.re), sel(x_f.im, x_m.im))
-        ds_tail = CF(sel(tail_f.re, tail_m.re), sel(tail_f.im, tail_m.im))
-        mf_tail = (CF(sel(mft_f.re, mft_m.re), sel(mft_f.im, mft_m.im))
-                   if fuse_mf else None)
-        tu_phase = jnp.where(dofft, states.tu_phase, ph_m)
-        ft_state = jax.tree.map(sel, ft_f, states.fft_tuner)
-    else:
-        x, ds_tail, mf_tail, tu_phase, ft_state = _front_manual(
-            iq, states, tunings, rate=rate, manual_mode=mix_mode,
-            static_tunings=static_tunings, use_pallas=use_pallas,
-            compat_scan=compat_scan, fuse_mf=fuse_mf)
+    x, ds_tail, mf_tail, tu_phase, ft_state = _front_dispatch(
+        iq, states, tunings, dofft, track_high, rate=rate,
+        mix_mode=mix_mode, static_tunings=static_tunings,
+        use_pallas=use_pallas, compat_scan=compat_scan, fuse_mf=fuse_mf)
 
     if fuse_mf:
         vco_idx = (states.vco_idx + (t_len // m)) % 8
@@ -1060,6 +1076,20 @@ def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
+    if cfg.compat_scan and jax.devices()[0].platform not in ("cpu",):
+        # the per-sample lax.scan serializes 9600 steps per decimated
+        # second on an accelerator built for batched work — measured
+        # 18.6x slower than the parallel timing path on TPU v5e at
+        # 64 x 1 s (56.6 vs 3.0 ms/step, bench/exp_r7_compat.py;
+        # PERF.md "compat_scan on TPU"); it exists for fp-order parity
+        # verification, which CPU runs fine
+        import warnings
+        warnings.warn(
+            "compat_scan=True compiles the per-sample timing scan on a "
+            "TPU backend: measured ~19x slower than the default parallel "
+            "timing recovery (56.6 vs 3.0 ms/step at 64x1s, PERF.md). "
+            "Use compat_scan only for fp-order parity checks, ideally "
+            "on CPU.", RuntimeWarning, stacklevel=2)
     iq = as_cf(iq)
     s = iq.shape[0]
     if tunings is None:

@@ -7,8 +7,20 @@ bin clamped >= 102, then a 204-bin slice around the peak is inverse-FFT'd
 and ONLY ITS REAL PART is fed to the decimator (the reference drops Q —
 a deliberate quirk of its C++ heritage, :462).
 
-The EMA state chains across blocks, so blocks run under ``lax.scan``
-with a (avePeakPower, aveCentreBin, centreBin) carry. Transforms use the
+The computation is split by data dependence so it scales:
+
+- ``tuner_precompute``: per-block FFT + box-averaged PSD + masked peak
+  search — embarrassingly parallel over blocks (no carried state);
+- ``tuner_recurrence``: the (avePeakPower, aveCentreBin, centreBin)
+  state chain over blocks — a cheap ``lax.scan`` over tiny per-block
+  reductions (the ONLY sequential part, scalar work per block);
+- ``tuner_emit``: slice-around-centre + inverse FFT per block given the
+  resolved centres — parallel again.
+
+``fft_tuner_blocks`` composes the three for the single-chip path; the
+sp-sharded step (parallel/sharded.py) runs precompute/emit locally per
+time shard and resolves the recurrence across shards with a log-free
+ppermute relay (the state is 3 scalars per stream). Transforms use the
 planar MXU matmul FFT (no complex HLO).
 """
 
@@ -48,53 +60,92 @@ def fft_tuner_init() -> FftTunerState:
     )
 
 
-def _tune_one_block(state: FftTunerState, iq: CF, *, track_high):
-    samples = iq.shape[-1]
-    spec = fft_cf(iq)
-    psd = spec[: samples // 2].abs()
+def tuner_precompute(iq_blocks: CF, track_high):
+    """Stateless per-block analysis (parallel over blocks).
 
-    # track_high is TRACED (scalar bool): the search half-band is data,
-    # so per-instance FUNcube<n>-bpsk-upper settings batch in one compile
-    # (FUNcubeBPSKDemod.java:97-99) and toggling never recompiles
+    iq_blocks: CF [..., n_blocks, samples]. Returns (spec [..., n_blocks,
+    samples] CF, ave [..., n_blocks, samples//2] box-summed PSD,
+    bin_pos [..., n_blocks] i32, max_bin [..., n_blocks] f32, end
+    [...] i32 — the half-band end used for the centre clamp).
+    """
+    samples = iq_blocks.shape[-1]
+    spec = fft_cf(iq_blocks)
+    psd = CF(spec.re[..., : samples // 2],
+             spec.im[..., : samples // 2]).abs()
+
+    # track_high is TRACED (bool, broadcastable over leading dims): the
+    # search half-band is data, so per-instance FUNcube<n>-bpsk-upper
+    # settings batch in one compile (FUNcubeBPSKDemod.java:97-99)
     th = jnp.asarray(track_high)
     beg = jnp.where(th, samples // 4, 0)
     end = jnp.where(th, samples // 2, samples // 4)
-    # box sum over [i-50, i+50) via cumulative sum
-    csum = jnp.cumsum(jnp.concatenate([jnp.zeros(1, psd.dtype), psd]))
+    zero = jnp.zeros(psd.shape[:-1] + (1,), psd.dtype)
+    csum = jnp.cumsum(jnp.concatenate([zero, psd], axis=-1), axis=-1)
     i_all = jnp.arange(samples // 2)
-    ave = csum[jnp.clip(i_all + BOX_HALF, 0, samples // 2)] - \
-        csum[jnp.clip(i_all - BOX_HALF, 0, samples // 2)]
-    in_range = (i_all >= beg + EDGE) & (i_all < end - EDGE)
+    hi = jnp.clip(i_all + BOX_HALF, 0, samples // 2)
+    lo = jnp.clip(i_all - BOX_HALF, 0, samples // 2)
+    ave = jnp.take(csum, hi, axis=-1) - jnp.take(csum, lo, axis=-1)
+    in_range = ((i_all >= (beg + EDGE)[..., None])
+                & (i_all < (end - EDGE)[..., None]))
     masked = jnp.where(in_range, ave, -jnp.inf)
-    bin_pos = jnp.argmax(masked).astype(jnp.int32)
-    max_bin = masked[bin_pos]
+    bin_pos = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    max_bin = jnp.take_along_axis(masked, bin_pos[..., None],
+                                  axis=-1)[..., 0]
+    return spec, ave, bin_pos, max_bin, end
 
-    centre = jnp.clip(state.centre_bin, 0, end - 1)
-    ave_pp = PSD_AVG * ave[centre] + PSD_INV * state.ave_peak_power
-    take = (max_bin > ave_pp * 1.25) & (bin_pos > 0)
-    ave_cb = jnp.where(take, bin_pos.astype(jnp.float32), state.ave_centre_bin)
-    centre2 = jnp.where(take, (ave_cb + 1.0).astype(jnp.int32), centre)
-    centre2 = jnp.maximum(centre2, MIN_CENTRE)
 
-    # inverse FFT of the 204-bin slice [centre-102, centre+102), at bin 0
-    start = jnp.clip(centre2 - SLICE_HALF, 0, samples - 2 * SLICE_HALF)
-    sl = CF(lax.dynamic_slice(spec.re, (start,), (2 * SLICE_HALF,)),
-            lax.dynamic_slice(spec.im, (start,), (2 * SLICE_HALF,)))
-    rev = CF(jnp.zeros(samples, jnp.float32).at[: 2 * SLICE_HALF].set(sl.re),
-             jnp.zeros(samples, jnp.float32).at[: 2 * SLICE_HALF].set(sl.im))
-    td = ifft_cf(rev)
-    feed_re = td.re.astype(jnp.float32)
-    new_state = FftTunerState(ave_pp.astype(jnp.float32),
-                              ave_cb.astype(jnp.float32), centre2)
-    # the decimator receives (re, re) — Q dropped (:461-463)
-    return new_state, (CF(feed_re, feed_re), centre2)
+def tuner_recurrence(state: FftTunerState, ave, bin_pos, max_bin, end
+                     ) -> Tuple[FftTunerState, jnp.ndarray]:
+    """The sequential EMA/centre chain over blocks (scalar work each).
+
+    ave [n_blocks, samples//2], bin_pos/max_bin [n_blocks], end scalar.
+    Returns (new state, centres [n_blocks] i32) — the per-block centre
+    bins that drive the slice extraction.
+    """
+
+    def step(s: FftTunerState, x):
+        ave_b, pos_b, max_b = x
+        centre = jnp.clip(s.centre_bin, 0, end - 1)
+        app = PSD_AVG * ave_b[centre] + PSD_INV * s.ave_peak_power
+        take = (max_b > app * 1.25) & (pos_b > 0)
+        acb = jnp.where(take, pos_b.astype(jnp.float32), s.ave_centre_bin)
+        centre2 = jnp.where(take, (acb + 1.0).astype(jnp.int32), centre)
+        centre2 = jnp.maximum(centre2, MIN_CENTRE)
+        ns = FftTunerState(app.astype(jnp.float32), acb.astype(jnp.float32),
+                           centre2)
+        return ns, centre2
+
+    return lax.scan(step, state, (ave, bin_pos, max_bin))
+
+
+def tuner_emit(spec: CF, centres: jnp.ndarray) -> CF:
+    """Slice [centre-102, centre+102) -> inverse FFT -> real-only feed
+    (parallel over blocks). spec [n_blocks, samples] CF, centres
+    [n_blocks] i32. Returns the CF feed [n_blocks, samples] with
+    I = Q = re (the Q-drop quirk, :461-463)."""
+    samples = spec.shape[-1]
+
+    def emit1(spec1, centre):
+        start = jnp.clip(centre - SLICE_HALF, 0, samples - 2 * SLICE_HALF)
+        sl = CF(lax.dynamic_slice(spec1.re, (start,), (2 * SLICE_HALF,)),
+                lax.dynamic_slice(spec1.im, (start,), (2 * SLICE_HALF,)))
+        z = jnp.zeros(samples, jnp.float32)
+        rev = CF(z.at[: 2 * SLICE_HALF].set(sl.re),
+                 z.at[: 2 * SLICE_HALF].set(sl.im))
+        td = ifft_cf(rev)
+        feed_re = td.re.astype(jnp.float32)
+        return CF(feed_re, feed_re)
+
+    return jax.vmap(emit1)(spec, centres)
 
 
 @jax.jit
 def _fft_tuner_blocks_jit(iq_blocks: CF, state: FftTunerState,
                           track_high: jnp.ndarray):
-    step = partial(_tune_one_block, track_high=track_high)
-    new_state, (feeds, centres) = lax.scan(step, state, iq_blocks)
+    spec, ave, bin_pos, max_bin, end = tuner_precompute(iq_blocks,
+                                                        track_high)
+    new_state, centres = tuner_recurrence(state, ave, bin_pos, max_bin, end)
+    feeds = tuner_emit(spec, centres)
     return feeds.reshape(-1), centres, new_state
 
 

@@ -57,7 +57,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..demod import bpsk as B
 from ..fec.decoder import fec_decode
 from ..ops.cplx import CF, as_cf
-from ..ops.fir import polyphase_decimate
 
 
 def make_pp_mesh(n_stages: int = 2, dp: int = 1, devices=None) -> Mesh:
@@ -147,10 +146,9 @@ def pipelined_telemetry(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
     assert n_stages in (2, 3), "pipeline supports 2 or 3 stages"
     has_dp = "dp" in mesh.axis_names
     m = rate // B.DOWN_SAMPLE_RATE
-    taps = B.DS_FILTER.astype(np.float32)
 
-    def local(iq_re, iq_im, bubble, carry, tunings, *, mix_pattern: bool):
-        from ..ops.pallas_kernels import mix_decimate
+    def local(iq_re, iq_im, bubble, carry, tunings, dofft, track_high, *,
+              mix_mode: str):
         k = lax.axis_index("pp")
         # shard_map delivers the pp-stacked carry as a leading length-1
         # axis per rank; strip it (re-added on return)
@@ -165,24 +163,22 @@ def pipelined_telemetry(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
             xr, xi, bub = x
 
             def stage0(_):
-                if mix_pattern:
-                    cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings,
-                                                      rate)
-                    ds, tail = mix_decimate(
-                        CF(xr, xi), cos_pat, sin_pat, taps, m, st.ds_tail,
-                        gain=B.HOWARD_FUDGE_FACTOR, use_pallas=use_pallas)
-                    tu = B._nco_advance(st.tu_phase, tunings, rate, t_len)
-                else:
-                    mixed, tu = B._tuner_full_mix(CF(xr, xi), st.tu_phase,
-                                                  tunings, rate)
-                    ds, tail = polyphase_decimate(
-                        mixed, jnp.asarray(taps), m, tail=st.ds_tail,
-                        gain=B.HOWARD_FUDGE_FACTOR)
+                # the shared front-end dispatcher (manual pattern/general
+                # mix, FFT auto-tune, or per-stream mixed — the same
+                # paths as the single-chip batch, demod.bpsk)
+                ds, tail, _mft, tu, ft = B._front_dispatch(
+                    CF(xr, xi), st, tunings, dofft, track_high,
+                    rate=rate, mix_mode=mix_mode, static_tunings=None,
+                    use_pallas=use_pallas, compat_scan=compat_scan,
+                    fuse_mf=False)
                 # a bubble must not advance the front-end state
                 st2 = st._replace(
                     tu_phase=jnp.where(bub, st.tu_phase, tu),
                     ds_tail=CF(jnp.where(bub, st.ds_tail.re, tail.re),
-                               jnp.where(bub, st.ds_tail.im, tail.im)))
+                               jnp.where(bub, st.ds_tail.im, tail.im)),
+                    fft_tuner=jax.tree.map(
+                        lambda new, old: jnp.where(bub, old, new),
+                        ft, st.fft_tuner))
                 p = _zero_payload(s, t_ds, max_hits)._replace(
                     valid=~bub, ds_re=ds.re, ds_im=ds.im, tu=tu,
                     tail_re=tail.re, tail_im=tail.im)
@@ -251,16 +247,20 @@ def pipelined_telemetry(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
         fec_ok=P("pp", None, dp), fec_rc=P("pp", None, dp),
         fec_payload=P("pp", None, dp), valid=P("pp", None))
     jitted = {}
-    for mix_pattern in (False, True):
-        smapped = jax.shard_map(
-            partial(local, mix_pattern=mix_pattern), mesh=mesh,
-            in_specs=(P(None, dp), P(None, dp), P(None), carry_specs,
-                      P(dp)),
-            out_specs=(carry_specs, out_specs),
-            check_vma=False)
-        jitted[mix_pattern] = jax.jit(smapped)
 
-    def run(iq_blocks, carry, tunings=None, bubble=None):
+    def get(mix_mode):
+        if mix_mode not in jitted:
+            smapped = jax.shard_map(
+                partial(local, mix_mode=mix_mode), mesh=mesh,
+                in_specs=(P(None, dp), P(None, dp), P(None), carry_specs,
+                          P(dp), P(dp), P(dp)),
+                out_specs=(carry_specs, out_specs),
+                check_vma=False)
+            jitted[mix_mode] = jax.jit(smapped)
+        return jitted[mix_mode]
+
+    def run(iq_blocks, carry, tunings=None, bubble=None, dofft=None,
+            track_high=None):
         iq = as_cf(iq_blocks)
         n_mb, s = iq.shape[:2]
         if tunings is None:
@@ -269,11 +269,22 @@ def pipelined_telemetry(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
         assert np.all(tun == np.round(tun)), \
             "pipelined path needs integral tunings"
         tun_arr = np.maximum(tun, 0.0).astype(np.int32)
-        pat = B.pattern_mix_ok(tun, rate)
+        manual = "pattern" if B.pattern_mix_ok(tun, rate) else "general"
+        dofft_np = np.broadcast_to(
+            np.asarray(False if dofft is None else dofft, bool), (s,)).copy()
+        th_np = np.broadcast_to(
+            np.asarray(False if track_high is None else track_high, bool),
+            (s,)).copy()
+        if dofft_np.all():
+            mix_mode = "dofft"
+        elif dofft_np.any():
+            mix_mode = f"mixed:{manual}"
+        else:
+            mix_mode = manual
         if bubble is None:
             bubble = np.zeros(n_mb, bool)
-        carry, outs = jitted[pat](iq.re, iq.im, np.asarray(bubble, bool),
-                                  carry, tun_arr)
+        carry, outs = get(mix_mode)(iq.re, iq.im, np.asarray(bubble, bool),
+                                    carry, tun_arr, dofft_np, th_np)
         # the LAST stage produced the real outputs; earlier ranks' slots
         # are dummies
         out = jax.tree.map(lambda x: x[n_stages - 1], outs)
@@ -306,13 +317,16 @@ def pipeline_init(cfg: B.BpskConfig, n_streams: int, block_len: int,
 
 
 def pipeline_flush(run, carry, n_streams: int, block_len: int,
-                   tunings=None, ticks: int | None = None
-                   ) -> Tuple[PipeOut, tuple]:
+                   tunings=None, ticks: int | None = None, dofft=None,
+                   track_high=None) -> Tuple[PipeOut, tuple]:
     """Drain the in-flight blocks: feeds (n_stages-1) BUBBLE ticks —
     inputs marked invalid, so NO stage state advances — and returns the
     decodes of the last real blocks. Safe mid-stream: processing can
-    resume with real blocks afterwards and stays bit-identical."""
+    resume with real blocks afterwards and stays bit-identical. Pass the
+    session's ``dofft``/``track_high`` flags so the flush reuses the
+    same compiled step."""
     n = ticks if ticks is not None else run.n_stages - 1
     z = np.zeros((n, n_streams, block_len), np.complex64)
-    out, carry = run(z, carry, tunings, bubble=np.ones(n, bool))
+    out, carry = run(z, carry, tunings, bubble=np.ones(n, bool),
+                     dofft=dofft, track_high=track_high)
     return out, carry

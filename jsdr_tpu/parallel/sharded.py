@@ -4,27 +4,58 @@ framework.
 Sharding layout over a ("dp", "sp") mesh:
 
 - streams (batch) partitioned over dp — N independent demod instances,
-  each with its own traced tuning (jsdr.java:479-484)
+  each with its own traced tuning and dofft/track_high flags
+  (jsdr.java:479-484, FUNcubeBPSKDemod.java:97-99)
 - each stream's time axis partitioned over sp
 
-The full-rate front-end (tuner mix -> decimating 27-tap FIR) is an
-overlap-save computation: each time shard needs the 26 mixed samples
-preceding it. That halo rides the ICI ring via one ``ppermute`` per
-step — the TPU-native replacement for the reference's circular delay
-buffers (FUNcubeBPSKDemod.java:467-468, 495-496). Shard 0's halo is the
-CARRIED mixed-domain tail from the previous segment, so consecutive
-sharded steps chain exactly like ``bpsk_block`` does and frames
-straddling two step calls are found (the reference's rolling 5200-bit
-window spans arbitrary time, FUNcubeBPSKDemod.java:503, 553-554).
+**Front end** (full-rate): manual streams mix with the exact
+int-numerator NCO at their global sample offsets; auto-tune (dofft)
+streams run the doBufferFFT front end (FUNcubeBPSKDemod.java:406-464)
+with the per-0.1 s FFT/peak analysis fully parallel per shard and ONLY
+the 3-scalar tuner EMA recurrence relayed across shards (n_sp-1
+ppermute rounds of a tiny state — the FFTs never re-run). The
+decimating FIR's 26-sample halo rides the ICI ring as MIXED-domain
+samples (one ppermute): both front ends produce their feed locally, so
+one halo exchange serves manual, auto and mixed batches alike; shard
+0's halo is the CARRIED mixed-domain tail, so consecutive sharded
+steps chain bit-exactly with ``bpsk_block_batch`` and frames straddling
+step boundaries are found.
 
-The 9600 Hz tail of the chain (VCO mix -> matched filter -> bit-timing
--> sync search) needs the whole segment's decimated stream; it is
-``rate/9600``-times decimated, so each dp row ``all_gather``s the
-decimated output along sp (cheap) and runs the identical single-device
-``_bpsk_post`` on the full segment with the full carried ``BpskState``.
-sp ranks compute identical results — redundant FLOPs on a small
-computation in exchange for zero cross-shard serialization and exact
-state-chaining semantics.
+**Decode tail** (9600 Hz): sharded over sp as well (round 3 replicated
+it on every rank — 47 % weak-scaling efficiency at sp=4; see PERF.md).
+Every stage's cross-shard dependence is a tiny carried state:
+
+- VCO mix: phase is exactly (pi/4)*(global index) — position-exact per
+  shard, no communication;
+- 65-tap matched filter: 64-sample mixed-domain ring halo (ppermute);
+- bit-timing EMA: the constant-decay recurrence is affine, so each
+  shard computes its zero-init local trajectory and the boundary
+  values resolve in closed form from one all_gather of [8]-vectors
+  (ema_in_k = a^(G_loc*k) ema_0 + sum_j<k a^(G_loc*(k-1-j)) b_end_j);
+- peak schedule: np0/peak0 of a shard's first groups are the argmax of
+  the left neighbor's last two groups — one ppermute of 2 scalars;
+- the differential decoder's last-valid chain: local log-shift fill,
+  then the boundary emission (i, q) resolves from one all_gather of 3
+  scalars per shard;
+- e_out: emission-count-weighted suffix algebra composes exactly from
+  per-shard (count, contribution) pairs (all_gather of 2 scalars);
+- sync search: the compacted +-1 bit stream is TINY (2 bits per
+  decimated 8-sample group, ~12 kb/s of stream), so (valid, bit) planes
+  all_gather along sp and every rank compacts the full stream (one
+  sort); the stride-80 sync correlation and window extraction are then
+  SHARDED by candidate position — rank k correlates/extracts only
+  start positions in its 1/n_sp slice, and the per-rank hits merge
+  position-ordered with one all_gather (first max_hits win, matching
+  the single-device scan order).
+
+Every carried quantity lands back in the SAME BpskState pytree, so the
+sharded step chains bit-exactly (up to documented EMA fp reassociation)
+with the single-device ``bpsk_block_batch`` and with itself across
+segment boundaries (tests/test_parallel.py asserts equality of bits,
+frames and state at 96 k and 192 k).
+
+``compat_scan=True`` (the per-sample fp-order parity mode) keeps the
+round-3 replicated tail: the sequential scan cannot shard over time.
 """
 
 from __future__ import annotations
@@ -38,120 +69,448 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..demod import bpsk as B
+from ..demod.fft_tuner import (FftTunerState, tuner_emit, tuner_precompute,
+                               tuner_recurrence)
 from ..ops.cplx import CF, as_cf
-from ..ops.fir import polyphase_decimate
+from ..ops.fir import fir_apply_streaming, polyphase_decimate
 from ..ops.spectrum import spectrum_block
 
 
-def _mix_decimate_local(iq_loc: CF, ds_tail: CF, nu0, tu, *, rate: int,
-                        n_sp: int):
-    """Per-shard front-end inside shard_map: tuner mix + decimate with a
-    26-sample mixed-domain ring halo. iq_loc: [s_loc, t_loc] planar.
+def _psum_from_last(x, n_sp: int):
+    """Replicate the LAST sp rank's value to every rank (one psum)."""
+    last = (lax.axis_index("sp") == n_sp - 1)
+    if x.dtype in (jnp.int32, jnp.int8):
+        return lax.psum(jnp.where(last, x, 0), "sp")
+    return lax.psum(jnp.where(last, x, jnp.zeros((), x.dtype)), "sp")
 
-    Returns (ds_loc [s_loc, t_loc//m], last26 [s_loc, 26] mixed — the
-    would-be carried decimator tail of this shard)."""
-    m = rate // B.DOWN_SAMPLE_RATE
-    n_ds_tail = len(B.DS_FILTER) - 1                       # 26
+
+def _front_manual_local(iq_loc: CF, nu0, tu, *, rate: int):
+    """Exact-numerator NCO mix of this shard's samples at their GLOBAL
+    offsets (RxMixTuner at scale, FUNcubeBPSKDemod.java:382-397).
+    Returns the mixed feed [s_loc, t_loc]."""
     t_loc = iq_loc.shape[-1]
-    assert t_loc % m == 0 and t_loc >= n_ds_tail, (t_loc, n_ds_tail)
-
     sp_idx = lax.axis_index("sp")
-    # exact NCO numerator at this shard's first sample: the global
-    # sample offset is sp_idx * t_loc (traced), folded mod rate in int32
     g0 = (sp_idx.astype(jnp.int32) * np.int32(t_loc % rate)) % rate
     nu_shard = (nu0.astype(jnp.int32)
-                + B._modmul_traced(tu, g0, rate)) % rate    # [s_loc]
-
-    # mix the local samples plus the 26-sample left extension; the
-    # extension's raw samples come from the left neighbor via the ICI
-    # ring (shard 0 receives the wrap — masked below)
-    nums = B.nco_numerators(nu_shard, tu, n_ds_tail + t_loc, rate,
-                            start=1 - n_ds_tail)
+                + B._modmul_traced(tu, g0, rate)) % rate
+    nums = B.nco_numerators(nu_shard, tu, t_loc, rate, start=1)
     c, s = B._num_to_cossin(nums, rate)
     on = (tu > 0)[..., None]
+    return CF(iq_loc.re * jnp.where(on, c, 1.0),
+              iq_loc.im * jnp.where(on, s, 1.0))
+
+
+def _front_dofft_local(iq_loc: CF, ft0: FftTunerState, track_high, *,
+                       rate: int, n_sp: int):
+    """doBufferFFT front end per time shard: per-block FFT/peak analysis
+    local and parallel; the 3-scalar tuner EMA recurrence relays across
+    shards (n_sp-1 tiny ppermute rounds), then slices/inverse FFTs
+    emit locally. Returns (feed [s_loc, t_loc], final FftTunerState of
+    THIS shard — the last shard's is the carried one)."""
+    s_loc, t_loc = iq_loc.shape
+    samples = rate // 10
+    assert t_loc % samples == 0, (
+        "dofft sharding needs whole 0.1 s blocks per shard")
+    nb_loc = t_loc // samples
+    blocks = CF(iq_loc.re.reshape(s_loc, nb_loc, samples),
+                iq_loc.im.reshape(s_loc, nb_loc, samples))
+    spec, ave, bin_pos, max_bin, end = tuner_precompute(
+        blocks, jnp.asarray(track_high)[:, None])
+    end1 = end[:, 0]
+
+    rec = jax.vmap(tuner_recurrence)
+    sp_idx = lax.axis_index("sp")
+    st_in = ft0                       # correct on rank 0 only; relay fixes
+    if n_sp > 1:
+        perm = [(i, i + 1) for i in range(n_sp - 1)]
+        for r in range(n_sp - 1):
+            st_out, _ = rec(st_in, ave, bin_pos, max_bin, end1)
+            inc = jax.tree.map(lambda x: lax.ppermute(x, "sp", perm), st_out)
+            st_in = jax.tree.map(
+                lambda cur, i_: jnp.where(sp_idx == r + 1, i_, cur),
+                st_in, inc)
+    st_fin, centres = rec(st_in, ave, bin_pos, max_bin, end1)
+    feed = jax.vmap(tuner_emit)(spec, centres)
+    return CF(feed.re.reshape(s_loc, t_loc),
+              feed.im.reshape(s_loc, t_loc)), st_fin
+
+
+def _decimate_with_halo(feed: CF, ds_tail: CF, *, m: int, n_sp: int):
+    """Decimating 27-tap FIR over the sharded mixed-domain feed: the
+    26-sample halo hops the ICI ring; shard 0 uses the CARRIED tail.
+    Returns (ds_loc, new carried ds_tail — replicated to all ranks)."""
+    n_tail = len(B.DS_FILTER) - 1
+    sp_idx = lax.axis_index("sp")
     perm = [(i, (i + 1) % n_sp) for i in range(n_sp)]
-    halo = CF(lax.ppermute(iq_loc.re[..., -n_ds_tail:], "sp", perm),
-              lax.ppermute(iq_loc.im[..., -n_ds_tail:], "sp", perm))
-    ext = CF(jnp.concatenate([halo.re, iq_loc.re], axis=-1),
-             jnp.concatenate([halo.im, iq_loc.im], axis=-1))
-    mixed = CF(ext.re * jnp.where(on, c, 1.0),
-               ext.im * jnp.where(on, s, 1.0))
-
-    # shard 0's prehistory is the CARRIED mixed-domain tail; other
-    # shards mixed their neighbor's halo themselves (numerators are
-    # globally exact, so both agree bitwise with the chained single-
-    # device mix)
+    halo = CF(lax.ppermute(feed.re[..., -n_tail:], "sp", perm),
+              lax.ppermute(feed.im[..., -n_tail:], "sp", perm))
     is0 = sp_idx == 0
-    pre = CF(jnp.where(is0, ds_tail.re, mixed.re[..., :n_ds_tail]),
-             jnp.where(is0, ds_tail.im, mixed.im[..., :n_ds_tail]))
-    body = mixed[..., n_ds_tail:]
-    ds, _ = polyphase_decimate(
-        body, jnp.asarray(B.DS_FILTER.astype(np.float32)), m,
+    pre = CF(jnp.where(is0, ds_tail.re, halo.re),
+             jnp.where(is0, ds_tail.im, halo.im))
+    ds_loc, _ = polyphase_decimate(
+        feed, jnp.asarray(B.DS_FILTER.astype(np.float32)), m,
         tail=pre, gain=B.HOWARD_FUDGE_FACTOR)
-    return ds, body[..., -n_ds_tail:]
+    new_tail = CF(_psum_from_last(feed.re[..., -n_tail:], n_sp),
+                  _psum_from_last(feed.im[..., -n_tail:], n_sp))
+    return ds_loc, new_tail
 
 
-def _telemetry_local(iq_re, iq_im, states: B.BpskState, tunings, *,
-                     rate, n_sp, max_hits, compat_scan):
-    """shard_map body: sharded front-end + gathered single-device tail."""
-    iq_loc = CF(iq_re, iq_im)
-    t_total = iq_loc.shape[-1] * n_sp
+def _fill_batched(vi, vq, on):
+    """Batched log-shift last-valid fill along the last axis (the
+    batched form of demod.bpsk._last_valid_prev's core). Returns
+    (yi, yq, filled) — inclusive fill with NO seed applied."""
+    n = on.shape[-1]
+    yi = jnp.where(on, vi, 0.0)
+    yq = jnp.where(on, vq, 0.0)
+    filled = on
+    s = 1
+    while s < n:
+        shift = lambda a, fill: jnp.concatenate(
+            [jnp.full((*a.shape[:-1], s), fill, a.dtype), a[..., :-s]],
+            axis=-1)
+        yi = jnp.where(filled, yi, shift(yi, 0.0))
+        yq = jnp.where(filled, yq, shift(yq, 0.0))
+        filled = filled | shift(filled, False)
+        s *= 2
+    return yi, yq, filled
+
+
+def _sync_correlate_slice(w: jnp.ndarray, q0, n_q: int):
+    """Sync correlation for candidate start positions j in
+    [80*q0, 80*(q0+n_q)) only — the per-shard slice of
+    demod.bpsk.sync_correlate's stride-80 decomposition (q0 traced).
+    w must be padded so its [80, U] view has U >= q0 + n_q + 65."""
+    length = w.shape[-1]
+    u = length // 80
+    wt = w.astype(jnp.float32).reshape(u, 80).T          # [80, U]
+    wts = lax.dynamic_slice(wt, (0, q0), (80, n_q + 65))
+    sync = jnp.asarray(B._SYNC.astype(np.float32))
+    acc = None
+    for n in range(65):
+        sl = wts[:, n: n + n_q] * sync[n]
+        acc = sl if acc is None else acc + sl
+    return acc.T.reshape(-1).astype(jnp.int32)           # [80*n_q]
+
+
+def _tail_sharded(ds_loc: CF, states: B.BpskState, tu_phase, ds_tail: CF,
+                  ft_state, *, rate: int, n_sp: int, max_hits: int,
+                  t_total: int):
+    """sp-sharded decode tail (FUNcubeBPSKDemod.java:505-595 +
+    sync/extract at scale). ds_loc: [s_loc, t_ds_loc]. All outputs and
+    carried state are replicated across sp by construction."""
+    p = B.SAMPLES_PER_BIT
+    s_loc, t_ds_loc = ds_loc.shape
+    assert t_ds_loc % p == 0
+    g_loc = t_ds_loc // p
+    assert g_loc >= 2, "sharded tail needs >= 2 bit groups per shard"
+    t_ds_total = t_ds_loc * n_sp
     sp_idx = lax.axis_index("sp")
 
-    ds_loc, last26 = _mix_decimate_local(
-        iq_loc, states.ds_tail, states.tu_phase, tunings,
-        rate=rate, n_sp=n_sp)
-    # gather the decimated stream: every sp rank sees the full segment
-    ds = CF(lax.all_gather(ds_loc.re, "sp", axis=ds_loc.ndim - 1, tiled=True),
-            lax.all_gather(ds_loc.im, "sp", axis=ds_loc.ndim - 1, tiled=True))
+    # ---- VCO mix at exact global positions -------------------------------
+    vco0 = (states.vco_idx + sp_idx * (t_ds_loc % 8)) % 8        # [s_loc]
+    bb, _ = jax.vmap(B._vco_mix)(ds_loc, vco0)
+    vco_out = (states.vco_idx + (t_ds_total % 8)) % 8
 
-    # the segment's new carried tails (replicated to all sp ranks)
-    last = (sp_idx == n_sp - 1).astype(last26.re.dtype)
-    ds_tail = CF(lax.psum(last26.re * last, "sp"),
-                 lax.psum(last26.im * last, "sp"))
-    tu_phase = B._nco_advance(states.tu_phase, tunings, rate, t_total)
+    # ---- matched filter with 64-sample ring halo -------------------------
+    n_mf = len(B.DM_FILTER) - 1
+    perm = [(i, (i + 1) % n_sp) for i in range(n_sp)]
+    halo = CF(lax.ppermute(bb.re[..., -n_mf:], "sp", perm),
+              lax.ppermute(bb.im[..., -n_mf:], "sp", perm))
+    is0 = sp_idx == 0
+    mf_pre = CF(jnp.where(is0, states.mf_tail.re, halo.re),
+                jnp.where(is0, states.mf_tail.im, halo.im))
+    mf, _ = fir_apply_streaming(
+        bb, jnp.asarray(B.DM_FILTER.astype(np.float32)), mf_pre,
+        precision="bf16x3")
+    mf_tail_out = CF(_psum_from_last(bb.re[..., -n_mf:], n_sp),
+                     _psum_from_last(bb.im[..., -n_mf:], n_sp))
 
+    # ---- bit-energy EMA: affine cross-shard resolution -------------------
+    fi = mf.re.astype(jnp.float32).reshape(s_loc, g_loc, p)
+    fq = mf.im.astype(jnp.float32).reshape(s_loc, g_loc, p)
+    e1 = fi * fi + fq * fq
+    a = 1.0 - B.BIT_SMOOTH1
+    zero8 = jnp.zeros((s_loc, p), jnp.float32)
+    traj0 = jax.vmap(
+        lambda b1, i1: B._const_ema_trajectory(b1, a, i1))(
+        e1 * B.BIT_SMOOTH1, zero8)                       # [s_loc, G, 8]
+    b_end = traj0[:, -1]                                 # [s_loc, 8]
+    b_ends = lax.all_gather(b_end, "sp")                 # [n_sp, s_loc, 8]
+    pw_tbl = jnp.asarray(
+        np.power(a, g_loc * np.arange(n_sp + 1)).astype(np.float32))
+    k = sp_idx
+    ema_in = pw_tbl[k] * states.timing.e_ema
+    for j in range(n_sp - 1):                            # j < k contributes
+        wgt = jnp.where(j < k, pw_tbl[jnp.clip(k - 1 - j, 0, n_sp)], 0.0)
+        ema_in = ema_in + wgt * b_ends[j]
+    pw_g = jnp.asarray(
+        np.power(a, np.arange(1, g_loc + 1)).astype(np.float32))
+    traj = traj0 + pw_g[None, :, None] * ema_in[:, None, :]
+    e_ema_out = _psum_from_last(traj[:, -1], n_sp)
+
+    # ---- peak schedule with a 2-scalar left-boundary hop -----------------
+    am = jnp.argmax(traj, axis=2).astype(jnp.int32)      # [s_loc, G]
+    send = jnp.stack([am[:, -1], am[:, -2]], axis=-1)
+    recv = lax.ppermute(send, "sp", perm)
+    in_np = jnp.where(is0, states.timing.new_peak, recv[:, 0])
+    in_pk = jnp.where(is0, states.timing.peak, recv[:, 1])
+    np0 = jnp.concatenate([in_np[:, None], am[:, :-1]], axis=1)
+    peak0 = jnp.concatenate([in_pk[:, None], np0[:, :-1]], axis=1)
+    h = (peak0 + 4) % 8
+    peak_out = _psum_from_last(np0[:, -1], n_sp)
+    new_peak_out = _psum_from_last(am[:, -1], n_sp)
+
+    # ---- slot extraction (one-hot over the 8 phases) ---------------------
+    slot_p = jnp.stack([peak0, np0], axis=-1)            # [s_loc, G, 2]
+    slot_on = jnp.stack([peak0 <= h, np0 > h], axis=-1)
+    oh = slot_p[..., None] == jnp.arange(p)[None, None, None, :]
+    vi = jnp.sum(jnp.where(oh, fi[:, :, None, :], 0.0), axis=-1)
+    vq = jnp.sum(jnp.where(oh, fq[:, :, None, :], 0.0), axis=-1)
+    e1s = jnp.sum(jnp.where(oh, e1[:, :, None, :], 0.0), axis=-1)
+    n2 = 2 * g_loc
+    vi, vq, e1s = (x.reshape(s_loc, n2) for x in (vi, vq, e1s))
+    on = slot_on.reshape(s_loc, n2)
+
+    # ---- last-valid chain: local fill + 3-scalar boundary resolution -----
+    yi, yq, filled = _fill_batched(vi, vq, on)
+    lv = jnp.stack([yi[:, -1], yq[:, -1],
+                    filled[:, -1].astype(jnp.float32)], axis=-1)
+    lvg = lax.all_gather(lv, "sp")                       # [n_sp, s_loc, 3]
+    ci, cq = states.timing.last_iq[:, 0], states.timing.last_iq[:, 1]
+    gi, gq = ci, cq
+    for j in range(n_sp):
+        has_j = lvg[j, :, 2] > 0.5
+        take = (j < k) & has_j
+        ci = jnp.where(take, lvg[j, :, 0], ci)
+        cq = jnp.where(take, lvg[j, :, 1], cq)
+        gi = jnp.where(has_j, lvg[j, :, 0], gi)          # global final
+        gq = jnp.where(has_j, lvg[j, :, 1], gq)
+    prev_i = jnp.concatenate(
+        [ci[:, None], jnp.where(filled[:, :-1], yi[:, :-1], ci[:, None])],
+        axis=1)
+    prev_q = jnp.concatenate(
+        [cq[:, None], jnp.where(filled[:, :-1], yq[:, :-1], cq[:, None])],
+        axis=1)
+    last_iq_out = jnp.stack([gi, gq], axis=1)
+
+    di = -(prev_i * vi + prev_q * vq)
+    dq = prev_i * vq - prev_q * vi
+    e2 = jnp.sqrt(di * di + dq * dq)
+    valid = on & (e2 > B.ENERGY_GATE)
+    bit = di < 0.0
+
+    # ---- e_out: exact suffix-weighted composition ------------------------
+    onf = on.astype(jnp.float32)
+    cnt = jnp.sum(onf, axis=-1)
+    log_d = np.float32(np.log1p(-B.BIT_SMOOTH2))
+    tail_cnt = cnt[:, None] - jnp.cumsum(onf, axis=-1)
+    contrib = jnp.sum(onf * e1s * B.BIT_SMOOTH2
+                      * jnp.exp(tail_cnt * log_d), axis=-1)
+    cc = lax.all_gather(jnp.stack([cnt, contrib], axis=-1),
+                        "sp")                            # [n_sp, s_loc, 2]
+    total = jnp.sum(cc[:, :, 0], axis=0)
+    e_out = jnp.exp(total * log_d) * states.timing.e_out
+    after = total
+    for j in range(n_sp):
+        after = after - cc[j, :, 0]                      # emissions after j
+        e_out = e_out + cc[j, :, 1] * jnp.exp(after * log_d)
+    timing_out = B.TimingState(
+        e_ema=e_ema_out, pos=states.timing.pos, peak=peak_out,
+        new_peak=new_peak_out, e_out=e_out.astype(jnp.float32),
+        last_iq=last_iq_out)
+
+    # ---- bit stream: gather the tiny decision planes, compact once -------
+    valid_g = lax.all_gather(valid, "sp", axis=1, tiled=True)
+    bit_g = lax.all_gather(bit, "sp", axis=1, tiled=True)
+    max_bits = 2 * (t_ds_total // p) + 2
+    bits, n_bits = jax.vmap(
+        partial(B._compact_bits, max_bits=max_bits))(valid_g, bit_g)
+
+    # ---- sync search sharded by candidate position -----------------------
+    q_per = -(-max_bits // (80 * n_sp))
+    q0 = sp_idx * q_per
+    w_len = B.FEC_BITS - 1 + max_bits
+    pad_cols = max(-(-w_len // 80), n_sp * q_per + 65)
+
+    def search1(bits1, n_bits1, ring1):
+        w = jnp.concatenate([ring1, bits1])
+        wp = jnp.pad(w, (0, 80 * pad_cols - w_len))
+        corr = _sync_correlate_slice(wp, q0, q_per)
+        j_g = 80 * q0 + jnp.arange(80 * q_per, dtype=jnp.int32)
+        hits = (corr >= B.SYNC_THRESHOLD) & (j_g < n_bits1)
+        idx_loc = B._first_k_indices(hits, max_hits)
+        ok = idx_loc >= 0
+        pos = jnp.where(ok, 80 * q0 + idx_loc, -1)
+        corr_sel = jnp.where(ok, corr[jnp.where(ok, idx_loc, 0)], 0)
+        r_rows = -(-w_len // 128)
+        w2 = jnp.pad(w.astype(jnp.float32),
+                     (0, r_rows * 128 - w_len)).reshape(r_rows, 128)
+        starts = jnp.concatenate([
+            jnp.clip(jnp.where(ok, pos, 0), 0, w_len - B.FEC_BITS),
+            n_bits1[None].astype(jnp.int32)])
+        ext = B._extract_rows(w2, starts, B.FEC_BITS)
+        win = jnp.where(ext[:max_hits] == 1.0, jnp.uint8(0xC0),
+                        jnp.uint8(0x40))
+        win = jnp.where(ok[:, None], win, jnp.uint8(0x40))
+        ring_new = ext[max_hits, :B.FEC_BITS - 1].astype(jnp.int8)
+        return win, corr_sel, pos, ring_new
+
+    win_l, corr_l, pos_l, ring_new = jax.vmap(search1)(
+        bits, n_bits, states.ring)
+
+    # merge the per-rank hits (position-ordered: rank-major IS ascending)
+    pos_g = lax.all_gather(pos_l, "sp")                  # [n_sp, s_loc, H]
+    corr_g = lax.all_gather(corr_l, "sp")
+    win_g = lax.all_gather(win_l, "sp")                  # [n_sp, s_loc, H, F]
+    pos_f = jnp.transpose(pos_g, (1, 0, 2)).reshape(s_loc, -1)
+    corr_f = jnp.transpose(corr_g, (1, 0, 2)).reshape(s_loc, -1)
+    win_f = jnp.transpose(win_g, (1, 0, 2, 3)).reshape(
+        s_loc, n_sp * max_hits, B.FEC_BITS)
+    ok_f = pos_f >= 0
+    sel = jax.vmap(partial(B._first_k_indices, k=max_hits))(ok_f)
+    sel_ok = sel >= 0
+    sel_c = jnp.clip(sel, 0, n_sp * max_hits - 1)
+    windows = jnp.where(
+        sel_ok[:, :, None],
+        jnp.take_along_axis(win_f, sel_c[:, :, None], axis=1),
+        jnp.uint8(0x40))
+    hit_corr = jnp.where(
+        sel_ok, jnp.take_along_axis(corr_f, sel_c, axis=1), 0)
+    n_hits = jnp.minimum(jnp.sum(ok_f.astype(jnp.int32), axis=1), max_hits)
+
+    counters = states.counters + jnp.stack(
+        [jnp.full((s_loc,), t_total), jnp.full((s_loc,), t_ds_total),
+         n_bits, n_hits], axis=1).astype(jnp.int32)
+    out = B.BpskBlockOut(
+        windows=windows, hit_corr=hit_corr, n_hits=n_hits,
+        bits=bits, n_bits=n_bits,
+        energies=jnp.stack(
+            [timing_out.e_out,
+             jnp.max(hit_corr, axis=1).astype(jnp.float32)], axis=1))
+    new_state = B.BpskState(tu_phase, ds_tail, vco_out, mf_tail_out,
+                            timing_out, ring_new, counters, ft_state)
+    return out, new_state
+
+
+def _telemetry_local(iq_re, iq_im, states: B.BpskState, tunings, dofft,
+                     track_high, *, rate, n_sp, max_hits, compat_scan,
+                     front_mode):
+    """shard_map body: sharded front end + sharded (or, for
+    compat_scan, gathered/replicated) decode tail."""
+    iq_loc = CF(iq_re, iq_im)
+    s_loc, t_loc = iq_loc.shape
+    t_total = t_loc * n_sp
+    m = rate // B.DOWN_SAMPLE_RATE
+
+    # ---- front end: produce the mixed-domain feed locally ----------------
+    if front_mode == "manual":
+        feed = _front_manual_local(iq_loc, states.tu_phase, tunings,
+                                   rate=rate)
+        tu_phase = B._nco_advance(states.tu_phase, tunings, rate, t_total)
+        ft_state = states.fft_tuner
+    elif front_mode == "dofft":
+        feed, ft_fin = _front_dofft_local(iq_loc, states.fft_tuner,
+                                          track_high, rate=rate, n_sp=n_sp)
+        tu_phase = states.tu_phase
+        ft_state = jax.tree.map(lambda x: _psum_from_last(x, n_sp), ft_fin)
+    else:                                   # mixed per-stream selection
+        feed_m = _front_manual_local(iq_loc, states.tu_phase, tunings,
+                                     rate=rate)
+        tu_m = B._nco_advance(states.tu_phase, tunings, rate, t_total)
+        feed_f, ft_fin = _front_dofft_local(iq_loc, states.fft_tuner,
+                                            track_high, rate=rate,
+                                            n_sp=n_sp)
+        ft_last = jax.tree.map(lambda x: _psum_from_last(x, n_sp), ft_fin)
+        sel = dofft[:, None]
+        feed = CF(jnp.where(sel, feed_f.re, feed_m.re),
+                  jnp.where(sel, feed_f.im, feed_m.im))
+        tu_phase = jnp.where(dofft, states.tu_phase, tu_m)
+        ft_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                dofft.reshape((s_loc,) + (1,) * (new.ndim - 1)), new, old),
+            ft_last, states.fft_tuner)
+
+    ds_loc, ds_tail = _decimate_with_halo(feed, states.ds_tail, m=m,
+                                          n_sp=n_sp)
+
+    if not compat_scan:
+        return _tail_sharded(ds_loc, states, tu_phase, ds_tail, ft_state,
+                             rate=rate, n_sp=n_sp, max_hits=max_hits,
+                             t_total=t_total)
+
+    # compat_scan: the per-sample fp-parity scan cannot time-shard —
+    # gather the decimated stream and run the identical single-device
+    # tail on every rank (the round-3 replicated-tail form)
+    ds = CF(lax.all_gather(ds_loc.re, "sp", axis=ds_loc.ndim - 1,
+                           tiled=True),
+            lax.all_gather(ds_loc.im, "sp", axis=ds_loc.ndim - 1,
+                           tiled=True))
     post = partial(B._bpsk_post, t_len=t_total, max_hits=max_hits,
-                   compat_scan=compat_scan)
-    return jax.vmap(post)(ds, states, tu_phase, ds_tail, states.fft_tuner)
+                   compat_scan=True)
+    return jax.vmap(post)(ds, states, tu_phase, ds_tail, ft_state)
 
 
 def sharded_telemetry_step(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
                            compat_scan: bool = False):
     """Build the jitted multi-chip telemetry step with chained state.
 
-    Returns fn(iq, states, tunings=None) ->
+    Returns fn(iq, states, tunings=None, dofft=None, track_high=None) ->
     (out: demod.bpsk.BpskBlockOut, new_states: demod.bpsk.BpskState)
     where iq is [S, T] (CF or host complex) sharded (dp, sp), states is
-    a batched ``bpsk_init_batch`` pytree sharded over dp, and tunings is
-    a host [S] array of per-stream NCO Hz (integral; defaults 12000).
-    Consecutive calls chain bit-exactly like ``bpsk_block_batch`` —
-    frames straddling two step calls are decoded.
+    a batched ``bpsk_init_batch`` pytree sharded over dp, ``tunings`` is
+    a host [S] array of per-stream NCO Hz (integral; defaults 12000),
+    and ``dofft``/``track_high`` host [S] bools select the FFT auto-tune
+    front end per stream (FUNcube<n>-bpsk-dofft / -upper,
+    FUNcubeBPSKDemod.java:97-99). Consecutive calls chain bit-exactly
+    like ``bpsk_block_batch`` — frames straddling two step calls are
+    decoded. The decode tail is sp-sharded (see module docstring);
+    ``compat_scan=True`` keeps the replicated tail.
     """
     n_sp = mesh.shape["sp"]
-    local = partial(_telemetry_local, rate=rate, n_sp=n_sp,
-                    max_hits=max_hits, compat_scan=compat_scan)
     dp = P("dp")
     state_specs = jax.tree.map(lambda _: dp, B.bpsk_init(B.BpskConfig()))
     out_specs = (jax.tree.map(lambda _: dp, B.BpskBlockOut(
         *([0] * len(B.BpskBlockOut._fields)))), state_specs)
-    smapped = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P("dp", "sp"), P("dp", "sp"), state_specs, dp),
-        out_specs=out_specs,
-        check_vma=False,
-    )
-    jitted = jax.jit(smapped)
+    jitted = {}
 
-    def run(iq, states: B.BpskState, tunings=None):
+    def get(front_mode):
+        if front_mode not in jitted:
+            local = partial(_telemetry_local, rate=rate, n_sp=n_sp,
+                            max_hits=max_hits, compat_scan=compat_scan,
+                            front_mode=front_mode)
+            smapped = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P("dp", "sp"), P("dp", "sp"), state_specs, dp,
+                          dp, dp),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+            jitted[front_mode] = jax.jit(smapped)
+        return jitted[front_mode]
+
+    def run(iq, states: B.BpskState, tunings=None, dofft=None,
+            track_high=None):
         iq = as_cf(iq)
+        s = iq.shape[0]
         if tunings is None:
-            tunings = np.full(iq.shape[0], 12000)
+            tunings = np.full(s, 12000)
         tun = np.asarray(tunings, np.float64)
         assert np.all(tun == np.round(tun)), \
             "sharded path needs integral tunings"
         tun_arr = np.maximum(tun, 0.0).astype(np.int32)
-        return jitted(iq.re, iq.im, states, tun_arr)
+        dofft_np = np.broadcast_to(
+            np.asarray(False if dofft is None else dofft, bool), (s,)).copy()
+        th_np = np.broadcast_to(
+            np.asarray(False if track_high is None else track_high, bool),
+            (s,)).copy()
+        if dofft_np.all():
+            front_mode = "dofft"
+        elif dofft_np.any():
+            front_mode = "mixed"
+        else:
+            front_mode = "manual"
+        return get(front_mode)(iq.re, iq.im, states, tun_arr, dofft_np,
+                               th_np)
 
     return run
 

@@ -155,6 +155,115 @@ def test_sharded_spectrum(streams):
     assert abs(int(res.peak_freq[0]) - 13200) < 1300
 
 
+def test_sharded_dofft_matches_single_device():
+    """Per-stream FFT auto-tune in the SHARDED step (dofft — the
+    doBufferFFT front end, FUNcubeBPSKDemod.java:406-464): a mixed
+    manual/auto batch sharded dp x sp must equal the single-device mixed
+    batch bit-exactly across two chained segments (the tuner EMA state
+    relays across sp ranks and carries across segments), and the
+    auto-tuned stream must decode a carrier it was never told about."""
+    rng = np.random.default_rng(21)
+    payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+    sig_a = synth_bpsk_stream(payloads[:1], rate=96000,
+                              carrier_offset=12000.0, preamble_bits=400)
+    sig_b = synth_bpsk_stream(payloads[1:], rate=96000,
+                              carrier_offset=11900.0, preamble_bits=400,
+                              seed=2)
+    seg = 307_200                     # 3.2 s; t_loc = 8 whole 0.1s blocks
+    t_len = 2 * seg
+    arr = np.zeros((2, t_len), np.complex64)
+    arr[0, :len(sig_a)] = sig_a[:t_len]
+    arr[1, :len(sig_b)] = sig_b[:t_len]
+
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=96000)
+    step = sharded_telemetry_step(mesh, rate=96000)
+    tunings = np.asarray([12000, 0])
+    dofft = [False, True]
+
+    states = bpsk_init_batch(cfg, 2)
+    ref_states = bpsk_init_batch(cfg, 2)
+    good = [0, 0]
+    for b in range(2):
+        blk = arr[:, b * seg:(b + 1) * seg]
+        out, states = step(_put(mesh, blk), states, tunings, dofft=dofft)
+        ref, ref_states = bpsk_block_batch(blk, cfg, ref_states, tunings,
+                                           dofft=dofft)
+        assert np.array_equal(np.asarray(out.n_bits), np.asarray(ref.n_bits))
+        assert np.array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+        assert np.array_equal(np.asarray(out.n_hits), np.asarray(ref.n_hits))
+        assert np.array_equal(np.asarray(out.windows),
+                              np.asarray(ref.windows))
+        for s in range(2):
+            nh = int(out.n_hits[s])
+            if nh:
+                res = fec_decode(out.windows[s, :nh])
+                good[s] += sum(
+                    bool(res.ok[i]) and np.array_equal(
+                        np.asarray(res.payload[i]), payloads[s])
+                    for i in range(nh))
+    assert good == [1, 1]
+    # tuner state matches the single-device chain exactly (sp relay +
+    # cross-segment carry) — auto stream locked, manual stream untouched
+    assert np.array_equal(np.asarray(states.fft_tuner.centre_bin),
+                          np.asarray(ref_states.fft_tuner.centre_bin))
+    assert int(states.fft_tuner.centre_bin[1]) > 1000
+    assert int(states.fft_tuner.centre_bin[0]) == 0
+
+
+def test_sharded_compat_scan_matches_single_device(streams):
+    """compat_scan=True (the per-sample fp-parity mode) keeps the
+    replicated decode tail under sharding and still matches the
+    single-device compat chain exactly."""
+    arr, payloads = streams
+    t_len = 96000 * 2
+    arr2 = arr[:, :t_len]
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=96000, tuning=12000.0, compat_scan=True)
+    step = sharded_telemetry_step(mesh, rate=96000, compat_scan=True)
+    out, _ = jax.block_until_ready(
+        step(_put(mesh, arr2), bpsk_init_batch(cfg, 4)))
+    ref, _ = bpsk_block_batch(arr2, cfg, bpsk_init_batch(cfg, 4))
+    assert np.array_equal(np.asarray(out.n_bits), np.asarray(ref.n_bits))
+    assert np.array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+
+
+def test_sharded_checkpoint_resume_mid_stream(streams, tmp_path):
+    """Checkpoint/resume at scale: a dp x sp session checkpoints its
+    sharded BpskState MID-STREAM (while a frame is still in flight),
+    reloads, and the resumed run decodes the straddling frame with
+    outputs bit-identical to the uninterrupted run."""
+    from jsdr_tpu.runtime import load_state, save_state
+
+    arr, payloads = streams
+    t_len = arr.shape[-1]
+    half = t_len // 2                  # frame 0 completes after ~4.5 s
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=96000, tuning=12000.0)
+    step = sharded_telemetry_step(mesh, rate=96000)
+
+    states = bpsk_init_batch(cfg, 4)
+    out1, states = step(_put(mesh, arr[:, :half]), states)
+    assert int(out1.n_hits[0]) == 0    # frame still in flight
+    save_state(tmp_path / "ckpt.npz", jax.device_get(states))
+
+    # fresh process analog: reload into host numpy, resume
+    restored = load_state(tmp_path / "ckpt.npz", bpsk_init_batch(cfg, 4))
+    out2r, states_r = jax.block_until_ready(
+        step(_put(mesh, arr[:, half:]), restored))
+    out2, states_c = jax.block_until_ready(
+        step(_put(mesh, arr[:, half:]), states))
+    for field in ("windows", "n_hits", "n_bits", "bits", "hit_corr"):
+        assert np.array_equal(np.asarray(getattr(out2r, field)),
+                              np.asarray(getattr(out2, field))), field
+    assert int(out2r.n_hits[0]) == 1   # the straddling frame decoded
+    res = fec_decode(out2r.windows[:1])
+    assert bool(res.ok[0, 0])
+    assert np.array_equal(np.asarray(res.payload[0, 0]), payloads[0])
+    for a, b in zip(jax.tree.leaves(states_r), jax.tree.leaves(states_c)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 # ---------------------------------------------------------------------------
 # Tensor-parallel FFT (intra-op sharding of ONE large transform)
 # ---------------------------------------------------------------------------
@@ -301,6 +410,70 @@ def test_pipelined_telemetry_matches_sequential(streams, n_stages, dp):
         res = fec_decode(jnp.asarray(o.telem.windows[s_i, :nh]))
         assert bool(res.ok[0])
         assert np.array_equal(np.asarray(res.payload[0]), payloads[s_i])
+
+
+def test_pipelined_dofft_matches_sequential():
+    """Per-stream FFT auto-tune in the PIPELINE's stage 0: a mixed
+    manual/auto batch must reproduce the sequential mixed batch exactly
+    (shifted by the pipeline latency) and decode the auto-tuned
+    carrier; the tuner EMA state advances on stage 0 only and bubbles
+    must not advance it."""
+    from jsdr_tpu.parallel.pipeline import (make_pp_mesh, pipeline_flush,
+                                            pipeline_init,
+                                            pipelined_telemetry)
+    rng = np.random.default_rng(22)
+    payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+    sig_a = synth_bpsk_stream(payloads[:1], rate=96000,
+                              carrier_offset=12000.0, preamble_bits=400)
+    sig_b = synth_bpsk_stream(payloads[1:], rate=96000,
+                              carrier_offset=11900.0, preamble_bits=400,
+                              seed=2)
+    block = 96000
+    n_mb = 6
+    t_len = n_mb * block
+    arr = np.zeros((2, t_len), np.complex64)
+    arr[0, :len(sig_a)] = sig_a[:t_len]
+    arr[1, :len(sig_b)] = sig_b[:t_len]
+    blocks = arr.reshape(2, n_mb, block).swapaxes(0, 1)
+    tunings = np.asarray([12000, 0])
+    dofft = [False, True]
+
+    mesh = make_pp_mesh(2, 1)
+    cfg = BpskConfig(rate=96000)
+    run = pipelined_telemetry(mesh, rate=96000)
+    carry = pipeline_init(cfg, 2, block, 2)
+    out, carry = run(blocks, carry, tunings, dofft=dofft)
+    last, carry = pipeline_flush(run, carry, 2, block, tunings,
+                                 dofft=dofft)
+
+    st = bpsk_init_batch(cfg, 2)
+    seq = []
+    for b in range(n_mb):
+        o, st = bpsk_block_batch(arr[:, b * block:(b + 1) * block], cfg,
+                                 st, tunings, dofft=dofft)
+        seq.append(o)
+    pipe = [jax.tree.map(lambda x: np.asarray(x[t]), out)
+            for t in range(1, n_mb)] \
+        + [jax.tree.map(lambda x: np.asarray(x[0]), last)]
+    good = [0, 0]
+    for got, ref in zip(pipe, seq):
+        assert np.array_equal(got.telem.n_bits, np.asarray(ref.n_bits))
+        assert np.array_equal(got.telem.windows, np.asarray(ref.windows))
+        for s_i in range(2):
+            nh = int(got.telem.n_hits[s_i])
+            if nh:
+                res = fec_decode(jnp.asarray(got.telem.windows[s_i, :nh]))
+                good[s_i] += sum(
+                    bool(res.ok[i]) and np.array_equal(
+                        np.asarray(res.payload[i]), payloads[s_i])
+                    for i in range(nh))
+    assert good == [1, 1]
+    # stage 0 carries the tuner state: auto stream locked, manual
+    # untouched, and it matches the sequential chain
+    front_st = jax.tree.map(lambda x: np.asarray(x[0]), carry[1])
+    assert np.array_equal(front_st.fft_tuner.centre_bin,
+                          np.asarray(st.fft_tuner.centre_bin))
+    assert int(front_st.fft_tuner.centre_bin[1]) > 1000
 
 
 def test_pipeline_flush_is_a_bubble_mid_stream(streams):
