@@ -19,14 +19,23 @@ all result tensors), i.e. this is chip throughput — the metric's
 "Msamples/s/chip". Two timings are reported: per-dispatch (one tunnel
 round-trip per step — this environment's tunneled backend adds a
 measured ~1.0 ms fixed dispatch cost per step, PERF.md) and
-steady-state (10 steps chained in one jit via lax.fori_loop; the
-loop-carried demod state advances every iteration, so no step can be
-hoisted, and every output tensor is reduced into the carry). The
-steady-state number is the headline: it is the device's sustained
-throughput, which a production host co-located with the TPU sees. The
-one-time host->device transfer happens over the development tunnel
-(~tens of MB/s) and is reported separately on stderr; production
-ingest DMAs into HBM directly.
+steady-state (10 steps chained in one jit via lax.fori_loop). The
+chained loop must defeat XLA's while-loop invariant code motion: with a
+CONSTANT device-resident input, any op that depends only on the input
+(the whole display-spectrum kernel — it carries no state) is hoisted
+out of the loop and runs ONCE for k steps, inflating throughput ~1.65x
+(measured, bench/exp_r7_hoist.py; round 3's 15.1 GS/s headline was
+this artifact). The input buffer is therefore loop-CARRIED and one
+sample is overwritten with a state-derived value each iteration (an
+in-place dynamic-update-slice — no extra HBM pass), so every op
+executes every iteration, exactly as with streamed fresh input. The
+loop-carried demod state keeps the telemetry chain live, and every
+output tensor is reduced into the carry (no DCE). The steady-state
+number is the headline: it is the device's sustained throughput, which
+a production host co-located with the TPU sees. The one-time
+host->device transfer happens over the development tunnel (~tens of
+MB/s) and is reported separately on stderr; production ingest DMAs
+into HBM directly.
 
 Baseline: the reference is a real-time desktop app designed for at most
 192 kS/s (FCD V2, jsdr.java:271-277) on one CPU — no published numbers
@@ -138,13 +147,13 @@ def bench_192k(log):
     from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_block_batch_spectrum, \
         bpsk_init_batch
     from jsdr_tpu.io.sources import synth_bpsk_stream
-    from jsdr_tpu.ops.cplx import from_complex
+    from jsdr_tpu.ops.cplx import CF, from_complex
 
-    # 256 streams x 2.5 s: the measured optimum (bench/exp_r6_chain192
-    # sweep) — device time is superlinear in per-stream block length
-    # with a ~480k-sample sweet spot, and >=64 streams are needed to
-    # fill the VPU sublanes (32x5s measured 1117 MS/s vs 10099 at 64x10s)
-    rate, n_streams, t_len = 192_000, 256, 480_000      # 2.5 s per stream
+    # 256 streams x 2.4 s: merged-kernel-eligible (t_len % 38400 == 0 at
+    # m=20 too) near the measured shape optimum; >=64 streams are needed
+    # to fill the VPU sublanes (32x5s measured 1117 MS/s vs 10099 at
+    # 64x10s). The hoist-proof chained form (see main) is the headline.
+    rate, n_streams, t_len = 192_000, 256, 460_800      # 2.4 s per stream
     cfg = BpskConfig(rate=rate, tuning=12_000.0)
     rng = np.random.default_rng(3)
     base = synth_bpsk_stream(
@@ -180,33 +189,91 @@ def bench_192k(log):
     k_chain = 10
 
     @jax.jit
-    def chained(iq, states):
+    def chained(iq_re, iq_im, states):
+        # hoist-proof carried-buffer form (see main's chained docstring)
         def body(_, carry):
-            acc, st = carry
-            spec, out, st = bpsk_block_batch_spectrum(iq, cfg, st)
+            acc, re_buf, st = carry
+            spec, out, st = bpsk_block_batch_spectrum(
+                CF(re_buf, iq_im), cfg, st)
             forced = (spec.wf.sum() + spec.peak_db.sum()
+                      + spec.peak_freq.sum()
                       + out.windows.astype(jnp.int32).sum()
                       + out.hit_corr.sum() + out.n_hits.sum()
-                      + out.n_bits.sum())
-            return acc + forced.astype(jnp.float32), st
+                      + out.n_bits.sum()).astype(jnp.float32)
+            re_buf = jax.lax.dynamic_update_slice(
+                re_buf, (forced * 1e-12)[None, None], (0, 0))
+            return acc + forced, re_buf, st
         return jax.lax.fori_loop(
-            0, k_chain, body, (jnp.float32(0.0), states))
+            0, k_chain, body, (jnp.float32(0.0), iq_re, states))
 
-    jax.block_until_ready(chained(iq, states))
+    jax.block_until_ready(chained(iq.re, iq.im, states))
     m, stc = 2, states
     t0 = time.time()
     for _ in range(m):
-        acc, stc = chained(iq, stc)
+        acc, _, stc = chained(iq.re, iq.im, stc)
     jax.block_until_ready(stc)
     dt_c = (time.time() - t0) / (m * k_chain)
     msps_c = n_streams * t_len / dt_c / 1e6
     # cumulative sync hits over the m*k timed chained steps, from the
-    # carried per-stream counters — a 2.5 s step can't contain a whole
+    # carried per-stream counters — a 2.4 s step can't contain a whole
     # 4.33 s frame, so per-step hit counts are only meaningful summed
     hits_c = int(np.asarray(stc.counters)[:, 3].sum())
-    log(f"192 kS/s steady-state ({m}x{k_chain} chained steps): "
-        f"{dt_c*1000:.2f} ms/step -> {msps_c:.0f} MS/s/chip sustained "
-        f"(cumulative hits={hits_c})")
+    log(f"192 kS/s steady-state ({m}x{k_chain} chained steps, "
+        f"hoist-proof): {dt_c*1000:.2f} ms/step -> {msps_c:.0f} MS/s/chip "
+        f"sustained (cumulative hits={hits_c})")
+
+
+def bench_live_soak(log):
+    """60 s PACED live session — the production loop end-to-end: raw
+    int16 chunks delivered at real time (PacedSource deadline pacing,
+    JavaAudio.java:231-233 semantics), device-side convert (the raw-mode
+    h2d path), full telemetry chain, batched readbacks (sync_every=8),
+    frame decode via the pub/sub drain. Reports wall/realtime ratio,
+    busy fraction (margin), dropped blocks, and decoded frames — the
+    proof that the production Session sustains real time with margin."""
+    import jax
+    from jsdr_tpu.demod.bpsk import BpskConfig
+    from jsdr_tpu.io.convert import complex_to_s16le
+    from jsdr_tpu.io.live import PacedSource
+    from jsdr_tpu.io.sources import synth_bpsk_stream
+    from jsdr_tpu.runtime.executor import Session, TelemetryStage
+
+    rate, secs = 96_000, 60
+    rng = np.random.default_rng(7)
+    base = synth_bpsk_stream(
+        rng.integers(0, 256, (1, 256), dtype=np.uint8),
+        rate=rate, preamble_bits=600, noise_rms=0.25)
+    reps = int(np.ceil(secs * rate / len(base)))
+    sig = np.tile(base, reps)[: secs * rate]
+    raw = np.frombuffer(complex_to_s16le(sig), "<i2")
+    chunks = [raw[i * 2 * rate:(i + 1) * 2 * rate] for i in range(secs)]
+    expect_frames = secs * rate // len(base)
+
+    def make(source):
+        cfg = BpskConfig(rate=rate, max_hits_per_block=2)
+        stage = TelemetryStage(cfg, tunings=[12000.0], sync_every=8)
+        sess = Session(source=source, block_samples=rate)
+        frames = []
+        sess.pubsub.listen(lambda t, v: frames.append(v)
+                           if t == "telemetry-frame" else None)
+        return sess, stage, frames
+
+    # warm the compile cache so the soak measures steady state
+    sess_w, stage_w, _ = make(iter(chunks[:2]))
+    sess_w.run([stage_w])
+
+    sess, stage, frames = make(PacedSource(iter(chunks), rate))
+    t0 = time.time()
+    n = sess.run([stage])
+    wall = time.time() - t0
+    rep = sess.timers.report()
+    busy = sum(v["wall_s"] for v in rep.values())
+    ok = sum(1 for f in frames if f.get("ok"))
+    drops = sum(sess.dropped_blocks.values())
+    log(f"live soak: {secs} s paced raw-mode session, {n} blocks in "
+        f"{wall:.1f} s wall (x{secs/wall:.3f} realtime), busy "
+        f"{busy:.1f} s ({busy/wall*100:.0f}% -> {1-busy/wall:.0%} idle "
+        f"margin), drops={drops}, frames decoded={ok}/{expect_frames}")
 
 
 def bench_demod(log):
@@ -266,14 +333,14 @@ def main():
     log(f"device: {dev}")
     ensure_tpu_ready(attempts=1)
 
-    # 128 streams x 5 s: the measured throughput optimum
-    # (bench/exp_r6_chain.py sweep — device time is superlinear in
-    # per-stream block LENGTH, so the same 61.4M samples/step run 1.75x
-    # faster as 128x5s than as 64x10s; stream count scales cleanly).
-    # 5 s blocks are also closer to the executor's 1 s production
-    # default; telemetry state threads across steps either way.
+    # 128 streams x 4.8 s: merged-kernel-eligible (t_len % 38400 == 0 —
+    # sf_geometry) and at the measured shape optimum. The honest chained
+    # sweep (bench/exp_r7_hoist.py + exp_r7_shape.py) shows the merged
+    # one-HBM-pass kernel beats the staged two-read path once the
+    # hoisting artifact is removed; shorter blocks than the round-2
+    # 64x10s shape still win, just by ~10%, not the artifact's 75%.
     n_streams = 128
-    t_len = 480_000                      # 5 s per stream at 96 kS/s
+    t_len = 460_800                      # 4.8 s per stream at 96 kS/s
     rate = 96_000
     fft_n = 9_600                        # 0.1 s spectrum blocks (compat cadence)
     cfg = BpskConfig(rate=rate, tuning=12_000.0)
@@ -328,44 +395,50 @@ def main():
     log(f"end-to-end incl. one-time upload amortized over {iters} steps: "
         f"{samples*iters/(total+up)/1e6:.1f} MS/s")
 
-    # Steady-state: k dependent steps inside ONE jit (lax.fori_loop).
-    # The loop-carried demod state advances every iteration (NCO phase,
-    # FIR/mixed-domain tails, frame accumulators), so no iteration is
-    # loop-invariant and XLA executes all k; every output tensor is
-    # reduced into the f32 carry. This removes the tunnel's ~1.0 ms
-    # fixed per-dispatch cost (PERF.md "dispatch overhead") and is what
-    # a production host co-located with the chip sustains.
+    # Steady-state: k dependent steps inside ONE jit (lax.fori_loop),
+    # HOIST-PROOF: the input's real plane rides the loop carry and one
+    # sample is overwritten with a state-derived value each iteration
+    # (in-place on the carried buffer), so the state-free spectrum
+    # kernel cannot be moved out of the loop (see module docstring and
+    # bench/exp_r7_hoist.py); the demod state advances every iteration
+    # and every output reduces into the f32 carry (no DCE). This removes
+    # the tunnel's ~1.0 ms fixed per-dispatch cost (PERF.md "dispatch
+    # overhead") and is what a production host co-located with the chip
+    # sustains on streamed input.
     try:
         k_chain = 10
 
         @jax.jit
-        def chained(iq, states):
+        def chained(iq_re, iq_im, states):
             def body(_, carry):
-                acc, st = carry
-                spec, out, st = bpsk_block_batch_spectrum(iq, cfg, st)
+                acc, re_buf, st = carry
+                spec, out, st = bpsk_block_batch_spectrum(
+                    CF(re_buf, iq_im), cfg, st)
                 forced = (spec.wf.sum() + spec.peak_db.sum()
                           + spec.peak_freq.sum()
                           + out.windows.astype(jnp.int32).sum()
                           + out.hit_corr.sum() + out.n_hits.sum()
-                          + out.n_bits.sum())
-                return acc + forced.astype(jnp.float32), st
+                          + out.n_bits.sum()).astype(jnp.float32)
+                re_buf = jax.lax.dynamic_update_slice(
+                    re_buf, (forced * 1e-12)[None, None], (0, 0))
+                return acc + forced, re_buf, st
             return jax.lax.fori_loop(
-                0, k_chain, body, (jnp.float32(0.0), states))
+                0, k_chain, body, (jnp.float32(0.0), iq_re, states))
 
         t0 = time.time()
-        jax.block_until_ready(chained(iq, states))
+        jax.block_until_ready(chained(iq.re, iq.im, states))
         log(f"chained-step compile+first run: {time.time()-t0:.1f}s")
         m, stc = 3, states
         t0 = time.time()
         for _ in range(m):
-            acc, stc = chained(iq, stc)
+            acc, _, stc = chained(iq.re, iq.im, stc)
         jax.block_until_ready(stc)
         dt_chain = (time.time() - t0) / (m * k_chain)
         msps_chain = samples / dt_chain / 1e6
         hits_chain = int(np.asarray(stc.counters)[:, 3].sum())
         log(f"steady-state ({m}x{k_chain} chained steps, one dispatch "
-            f"per {k_chain}): {dt_chain*1000:.2f} ms/step -> "
-            f"{msps_chain:.0f} MS/s/chip sustained "
+            f"per {k_chain}, hoist-proof): {dt_chain*1000:.2f} ms/step "
+            f"-> {msps_chain:.0f} MS/s/chip sustained "
             f"(cumulative hits={hits_chain})")
         if msps_chain > msps:
             msps = msps_chain
@@ -374,7 +447,8 @@ def main():
             f"stands): {repr(e)[:160]}")
 
     # the secondary diagnostics must not take down the headline metric
-    for extra in (bench_fec, bench_ingest, bench_192k, bench_demod):
+    for extra in (bench_fec, bench_ingest, bench_192k, bench_demod,
+                  bench_live_soak):
         try:
             extra(log)
         except Exception as e:  # noqa: BLE001

@@ -182,8 +182,14 @@ def main():
     timeit(wf_only, iq.re, iq.im, tag="wf standalone", samples=samples)
     timeit(front_only, iq.re, iq.im, states, tag="front standalone",
            samples=samples)
-    timeit(kernel_only, iq.re, iq.im, states, tag="merged kernel only",
-           samples=samples)
+    from jsdr_tpu.ops.pallas_kernels import sf_geometry
+    sf_blocks, _ = sf_geometry(fft_n, m)
+    if t_len % (sf_blocks * fft_n) == 0:
+        timeit(kernel_only, iq.re, iq.im, states, tag="merged kernel only",
+               samples=samples)
+    else:
+        log("merged kernel: shape ineligible (t_len % "
+            f"{sf_blocks * fft_n} != 0), skipped")
     timeit(tail_only, ds.re, ds.im, states, tu_phase, tag="tail standalone",
            samples=samples)
     timeit(vco_mf_only, ds.re, ds.im, states, tag="tail: vco+mf only",

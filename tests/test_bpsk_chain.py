@@ -8,6 +8,7 @@ import pytest
 from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_init, bpsk_block
 from jsdr_tpu.fec.decoder import fec_decode
 from jsdr_tpu.io.sources import synth_bpsk_stream
+from jsdr_tpu.ops.cplx import CF
 
 
 def _run_stream(sig, payloads, cfg, block):
@@ -126,6 +127,37 @@ def test_general_mix_path_decodes(rng):
     cfg = BpskConfig(rate=96000, tuning=1200.0)
     good, _, _ = _run_stream(sig, payloads, cfg, 96000)
     assert good == 1
+
+
+def test_compat_scan_warns_on_accelerator(rng, monkeypatch):
+    """compat_scan=True on a non-CPU backend is a measured ~19x cliff
+    (bench/exp_r7_compat.py): the dispatcher must warn so the parity
+    knob is never flipped on TPU by accident."""
+    import warnings
+    import jax
+    from jsdr_tpu.demod.bpsk import bpsk_block_batch, bpsk_init_batch
+
+    class _FakeDev:
+        platform = "tpu"
+
+    real_devices = jax.devices
+
+    def fake_devices(*a, **kw):
+        return [_FakeDev()] if not a and not kw else real_devices(*a, **kw)
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    cfg = BpskConfig(rate=96000, tuning=12000.0, compat_scan=True)
+    iq = np.zeros((1, 9600), np.complex64)
+    with pytest.warns(RuntimeWarning, match="compat_scan"):
+        bpsk_block_batch(iq, cfg, bpsk_init_batch(cfg, 1),
+                         use_pallas=False)
+    monkeypatch.undo()
+    # no warning without compat_scan
+    cfg2 = BpskConfig(rate=96000, tuning=12000.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        bpsk_block_batch(iq, cfg2, bpsk_init_batch(cfg2, 1),
+                         use_pallas=False)
 
 
 def test_parallel_timing_equals_scan(rng):
@@ -322,11 +354,16 @@ def test_merged_spectrum_step_192k(rng):
 
 def test_chained_fori_loop_steps_equal_iterated(rng):
     """bench.py's steady-state measurement runs k dependent steps inside
-    ONE jit via lax.fori_loop, relying on the loop-carried state to keep
-    every iteration live (no loop-invariant hoisting) and on the forced
-    reduction to keep every output live (no DCE). Guard that contract:
-    k chained steps must produce bit-identical final state and the sum
-    of the per-step forced scalars."""
+    ONE jit via lax.fori_loop in the HOIST-PROOF form: the input's real
+    plane rides the loop carry and one sample is overwritten with a
+    state-derived value each iteration, so even state-free ops (the
+    display spectrum) cannot be moved out of the loop by XLA's
+    while-loop invariant code motion. (The loop-carried demod state
+    alone is NOT enough: LICM hoisted the whole spectrum kernel of the
+    round-3 constant-input form — values were identical, timing was
+    not; measured in bench/exp_r7_hoist.py.) Guard the value contract:
+    the chained form must produce bit-identical final state and forced
+    sums vs k python-iterated steps applying the same perturbation."""
     import jax
     from jsdr_tpu.demod.bpsk import (bpsk_block_batch_spectrum,
                                      bpsk_init_batch)
@@ -349,27 +386,38 @@ def test_chained_fori_loop_steps_equal_iterated(rng):
     k = 3
 
     @jax.jit
-    def chained(iq, states):
+    def chained(iq_re, iq_im, states):
         def body(_, carry):
-            acc, st = carry
-            spec, out, st = bpsk_block_batch_spectrum(iq, cfg, st)
-            return acc + forced_of(spec, out), st
+            acc, re_buf, st = carry
+            spec, out, st = bpsk_block_batch_spectrum(
+                CF(re_buf, iq_im), cfg, st)
+            f = forced_of(spec, out)
+            re_buf = jax.lax.dynamic_update_slice(
+                re_buf, (f * 1e-12)[None, None], (0, 0))
+            return acc + f, re_buf, st
         return jax.lax.fori_loop(0, k, body,
-                                 (jnp.float32(0.0), states))
+                                 (jnp.float32(0.0), iq_re, states))
 
     @jax.jit
-    def one(iq, states):
-        spec, out, st = bpsk_block_batch_spectrum(iq, cfg, states)
-        return forced_of(spec, out), st
+    def one(iq_re, iq_im, states):
+        spec, out, st = bpsk_block_batch_spectrum(CF(iq_re, iq_im), cfg,
+                                                  states)
+        f = forced_of(spec, out)
+        re2 = jax.lax.dynamic_update_slice(
+            iq_re, (f * 1e-12)[None, None], (0, 0))
+        return f, re2, st
 
-    acc_c, st_c = chained(iq, bpsk_init_batch(cfg, 2))
+    from jsdr_tpu.ops.cplx import from_complex
+    iq_cf = from_complex(iq)
+    acc_c, re_c, st_c = chained(iq_cf.re, iq_cf.im, bpsk_init_batch(cfg, 2))
     acc_i, st_i = jnp.float32(0.0), bpsk_init_batch(cfg, 2)
+    re_i = iq_cf.re
     for _ in range(k):
-        f, st_i = one(iq, st_i)
+        f, re_i, st_i = one(re_i, iq_cf.im, st_i)
         acc_i = acc_i + f
     for a, b in zip(jax.tree.leaves(st_c), jax.tree.leaves(st_i)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(re_c), np.asarray(re_i))
     assert np.asarray(acc_c) == pytest.approx(np.asarray(acc_i), rel=1e-6)
-    # the state must actually advance (a hoisted loop would repeat step 1
-    # and triple-count one block's samples)
+    # the state must actually advance across iterations
     assert int(np.asarray(st_c.counters)[:, 0].sum()) == 2 * k * n
