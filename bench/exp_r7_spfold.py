@@ -71,18 +71,25 @@ def main():
 
     max_hits = 4
     for sp in (1, 2, 4):
-        n2 = 2 * g * sp                    # gathered decision planes
-        max_bits = n2 + 2
-        valid = jnp.asarray(rng.random((n_streams, n2)) < 0.25)
-        bit = jnp.asarray(rng.random((n_streams, n2)) < 0.5)
+        # the round-4 assembly: each rank compacts LOCALLY (that sort is
+        # part of the base step), gathers the compacted i8 segments and
+        # PLACES them (parallel/sharded._place_segments) — the per-chip
+        # terms that grow with sp are the placement, the sync-slice
+        # buffer and the extraction buffer
+        from jsdr_tpu.parallel.sharded import _place_segments
+        mb_loc = 2 * g + 2
+        max_bits = 2 * g * sp + 2
+        bits_g = jnp.asarray(
+            rng.integers(-1, 2, (sp, n_streams, mb_loc)), jnp.int8)
+        n_g = jnp.full((sp, n_streams), mb_loc - 2, jnp.int32)
         q_per = -(-max_bits // (80 * sp))  # per-rank candidate slice
         w_len = B.FEC_BITS - 1 + max_bits
         pad_cols = max(-(-w_len // 80), sp * q_per + 65)
 
         @jax.jit
-        def grown(valid, bit):
-            bits, n_bits = jax.vmap(
-                partial(B._compact_bits, max_bits=max_bits))(valid, bit)
+        def grown(bits_g, n_g):
+            bits = _place_segments(bits_g, n_g, max_bits)
+            n_bits = jnp.sum(n_g, axis=0)
 
             def search1(bits1, n_bits1, ring1):
                 w = jnp.concatenate([ring1, bits1])
@@ -104,7 +111,7 @@ def main():
             ring = jnp.zeros((n_streams, B.FEC_BITS - 1), jnp.int8)
             return jax.vmap(search1)(bits, n_bits, ring).sum()
 
-        t_grow = timeit(grown, valid, bit)
+        t_grow = timeit(grown, bits_g, n_g)
         # per-chip(sp) = base step (front+tail on own N, with its own
         # sp=1-sized compact+sync) - sp=1 grown + sp-sized grown
         if sp == 1:

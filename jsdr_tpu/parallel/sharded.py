@@ -192,6 +192,55 @@ def _sync_correlate_slice(w: jnp.ndarray, q0, n_q: int):
     return acc.T.reshape(-1).astype(jnp.int32)           # [80*n_q]
 
 
+def _place_segments(bits_g: jnp.ndarray, n_g: jnp.ndarray,
+                    max_bits: int) -> jnp.ndarray:
+    """Assemble the global compacted bit stream from per-rank compacted
+    segments without a global sort.
+
+    bits_g: [n_sp, s_loc, mb_loc] i8 (+1/-1, 0 pad), n_g: [n_sp, s_loc]
+    valid counts. Segment j lands at offset off_j = sum_{i<j} n_i.
+    Placement at a traced offset o = 128*Q + R is a 7-step log fine-roll
+    (by R) plus a one-hot row matmul (by Q) — the inverse of
+    demod.bpsk._extract_rows, MXU-exact for +-1/0 values. Returns
+    [s_loc, max_bits] i8, zero-padded past the total count (identical
+    to the single-device compaction of the full stream)."""
+    n_sp, s_loc, mb_loc = bits_g.shape
+    q_in = -(-mb_loc // 128) + 1                 # +1 row of roll spill
+    out_rows = -(-max_bits // 128)
+    if n_sp == 1:
+        seg = bits_g[0]
+        return jnp.pad(seg, ((0, 0), (0, max_bits - mb_loc))) \
+            if max_bits >= mb_loc else seg[:, :max_bits]
+    off = jnp.concatenate(
+        [jnp.zeros((1, s_loc), n_g.dtype), jnp.cumsum(n_g[:-1], axis=0)])
+    t_idx = jnp.arange(out_rows * 128, dtype=jnp.int32)
+    acc = jnp.zeros((s_loc, out_rows * 128), jnp.float32)
+    rows_o = jnp.arange(out_rows, dtype=jnp.int32)[None, :, None]
+    rows_i = jnp.arange(q_in, dtype=jnp.int32)[None, None, :]
+    for j in range(n_sp):
+        seg = jnp.pad(bits_g[j].astype(jnp.float32),
+                      ((0, 0), (0, q_in * 128 - mb_loc)))
+        o = off[j].astype(jnp.int32)             # [s_loc]
+        r, q = o % 128, o // 128
+        x = seg
+        for kbit in range(7):
+            s_ = 1 << kbit
+            shifted = jnp.concatenate(
+                [jnp.zeros((s_loc, s_), x.dtype), x[:, :-s_]], axis=1)
+            x = jnp.where(((r >> kbit) & 1 == 1)[:, None], shifted, x)
+        x3 = x.reshape(s_loc, q_in, 128)
+        oh = (rows_o == rows_i + q[:, None, None])
+        placed = lax.dot_general(
+            oh.astype(jnp.bfloat16), x3.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [s_loc, out_rows, 128]
+        placed = placed.reshape(s_loc, out_rows * 128)
+        live = ((t_idx[None, :] >= o[:, None])
+                & (t_idx[None, :] < (o + n_g[j])[:, None]))
+        acc = acc + jnp.where(live, placed, 0.0)
+    return acc[:, :max_bits].astype(jnp.int8)
+
+
 def _tail_sharded(ds_loc: CF, states: B.BpskState, tu_phase, ds_tail: CF,
                   ft_state, *, rate: int, n_sp: int, max_hits: int,
                   t_total: int):
@@ -319,12 +368,22 @@ def _tail_sharded(ds_loc: CF, states: B.BpskState, tu_phase, ds_tail: CF,
         new_peak=new_peak_out, e_out=e_out.astype(jnp.float32),
         last_iq=last_iq_out)
 
-    # ---- bit stream: gather the tiny decision planes, compact once -------
-    valid_g = lax.all_gather(valid, "sp", axis=1, tiled=True)
-    bit_g = lax.all_gather(bit, "sp", axis=1, tiled=True)
+    # ---- bit stream: compact LOCALLY (each rank sorts only its own 1/sp
+    # of the slots — the sort is the only tail stage whose cost grows
+    # with the gathered length, measured +1.8 ms at sp=4 in
+    # bench/exp_r7_spfold2.py), gather the compacted i8 segments (half
+    # the bytes of raw decision planes), and PLACE them at their global
+    # offsets: concatenated local compactions ARE the globally sorted
+    # stream, so assembly is a per-segment fine roll + one-hot row
+    # matmul, no global sort
+    mb_loc = 2 * g_loc + 2
+    bits_loc, n_loc = jax.vmap(
+        partial(B._compact_bits, max_bits=mb_loc))(valid, bit)
+    bits_g = lax.all_gather(bits_loc, "sp")          # [n_sp, s_loc, mb]
+    n_g = lax.all_gather(n_loc, "sp")                # [n_sp, s_loc]
     max_bits = 2 * (t_ds_total // p) + 2
-    bits, n_bits = jax.vmap(
-        partial(B._compact_bits, max_bits=max_bits))(valid_g, bit_g)
+    bits = _place_segments(bits_g, n_g, max_bits)
+    n_bits = jnp.sum(n_g, axis=0)
 
     # ---- sync search sharded by candidate position -----------------------
     q_per = -(-max_bits // (80 * n_sp))
