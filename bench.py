@@ -165,6 +165,24 @@ def bench_192k(log):
     states = jax.block_until_ready(
         jax.device_put(bpsk_init_batch(cfg, n_streams)))
 
+    # decode-liveness proof FIRST: a 4.33 s frame is 833k samples at
+    # 192 k, so the timed loops' per-stream 2.4 s periodic window can
+    # never contain one — hits=0 in the timed loops is EXPECTED there
+    # (round 3's nonzero "hits" at this rate were seam correlations of
+    # the wrapped window, not decodes). Chain the merged step over a
+    # CONTINUOUS 3x2.4 s slice of the signal and require a sync hit.
+    live_st = jax.device_put(bpsk_init_batch(cfg, 1))
+    cont = np.tile(base, int(np.ceil(3 * t_len / len(base))))[:3 * t_len]
+    hits_live = 0
+    for seg in range(3):
+        _, lo, live_st = bpsk_block_batch_spectrum(
+            from_complex(cont[None, seg * t_len:(seg + 1) * t_len]),
+            cfg, live_st)
+        hits_live += int(jax.block_until_ready(lo.n_hits)[0])
+    assert hits_live >= 1, "192k merged chain failed to decode"
+    log(f"192 kS/s decode liveness: {hits_live} sync hit(s) over a "
+        f"continuous 7.2 s chained merged-step stream")
+
     @jax.jit
     def step(iq, states):
         spec, out, new_states = bpsk_block_batch_spectrum(iq, cfg, states)
@@ -214,13 +232,12 @@ def bench_192k(log):
     jax.block_until_ready(stc)
     dt_c = (time.time() - t0) / (m * k_chain)
     msps_c = n_streams * t_len / dt_c / 1e6
-    # cumulative sync hits over the m*k timed chained steps, from the
-    # carried per-stream counters — a 2.4 s step can't contain a whole
-    # 4.33 s frame, so per-step hit counts are only meaningful summed
     hits_c = int(np.asarray(stc.counters)[:, 3].sum())
     log(f"192 kS/s steady-state ({m}x{k_chain} chained steps, "
         f"hoist-proof): {dt_c*1000:.2f} ms/step -> {msps_c:.0f} MS/s/chip "
-        f"sustained (cumulative hits={hits_c})")
+        f"sustained (cumulative hits={hits_c}; 0 expected — the periodic "
+        f"2.4 s window cannot contain a 4.33 s frame, see the liveness "
+        f"line above)")
 
 
 def bench_live_soak(log):

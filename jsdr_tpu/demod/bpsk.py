@@ -1007,6 +1007,16 @@ def bpsk_block_batch_spectrum(iq, cfg: BpskConfig, states: BpskState,
     T % (4*rate/10) == 0; otherwise falls back to the staged
     spectrum_waterfall + bpsk_block_batch pair (same results, one extra
     input read).
+
+    dofft (FFT auto-tune) deployments always take the staged path, by
+    measurement rather than necessity: the auto-tuner must FFT every
+    0.1 s block anyway and its slice/inverse-FFT feed hangs off a
+    sequential per-block EMA recurrence, so a merged kernel would only
+    save the one extra HBM read of the input — worth ~0.9 ms against a
+    ~6.7 ms honest staged step at the bench shape (PERF.md measured
+    per-pass cost) — while forcing the tuner's dynamic-slice machinery
+    into Mosaic. The staged fallback is within ~13% of a hypothetical
+    perfect merge; not worth a second kernel to maintain.
     """
     from ..ops.pallas_kernels import sf_geometry, spectrum_waterfall
     from ..ops.spectrum import bin_to_hz
