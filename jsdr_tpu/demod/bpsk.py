@@ -106,6 +106,13 @@ _VCO_SIN = np.sin(_VCO_ANG).astype(np.float32)
 
 _SYNC = np.asarray(SYNC_VECTOR, dtype=np.int32)     # [65] of +/-1
 
+# Trace-time A/B switch for the batched timing recovery implementation
+# (Pallas VMEM kernel vs XLA associative-scan form) — see
+# _bpsk_post_mf_batch. Measured on v5e: the kernel wins at 64x10s
+# (round 3), the forms are within noise at 128x4.8s (round 4,
+# bench/exp_r8_timing.py); kernel stays the default.
+TIMING_PALLAS = True
+
 
 class BpskConfig(NamedTuple):
     rate: int = 96000          # input sample rate
@@ -693,8 +700,10 @@ def _bpsk_post_mf_batch(mf: CF, states: BpskState, tu_phase, ds_tail: CF,
     kernel path the timing recovery runs as ONE VMEM-resident Pallas
     call over all streams (ops.timing_kernel — its EMA carry composes
     in a different fp order than _timing_parallel's, so compat_scan
-    keeps the XLA form); compaction and sync search stay vmapped XLA."""
-    if use_pallas and not compat_scan:
+    keeps the XLA form); compaction and sync search stay vmapped XLA.
+    ``TIMING_PALLAS`` (module flag, trace-time) selects the kernel vs
+    the XLA associative-scan form for perf A/B (bench/exp_r8_timing)."""
+    if use_pallas and TIMING_PALLAS and not compat_scan:
         from ..ops.timing_kernel import timing_recover_batch
 
         interpret = jax.devices()[0].platform == "cpu"

@@ -211,6 +211,32 @@ def test_sharded_dofft_matches_single_device():
     assert int(states.fft_tuner.centre_bin[0]) == 0
 
 
+def test_place_segments_matches_concatenation():
+    """The sort-free global-bit-stream assembly (_place_segments) must
+    equal concatenating each rank's valid prefix, for random counts
+    including empty and full segments."""
+    from jsdr_tpu.parallel.sharded import _place_segments
+
+    rng = np.random.default_rng(33)
+    n_sp, s_loc, mb_loc = 4, 5, 258
+    max_bits = n_sp * (mb_loc - 2) + 2
+    n_g = rng.integers(0, mb_loc - 1, (n_sp, s_loc)).astype(np.int32)
+    n_g[0, 0] = 0                      # empty first segment
+    n_g[:, 1] = mb_loc - 2             # all segments full
+    n_g[:, 2] = 0                      # no bits at all
+    bits_g = np.zeros((n_sp, s_loc, mb_loc), np.int8)
+    for j in range(n_sp):
+        for s in range(s_loc):
+            bits_g[j, s, :n_g[j, s]] = rng.choice([-1, 1], n_g[j, s])
+    got = np.asarray(jax.jit(lambda b, n: _place_segments(b, n, max_bits))(
+        jnp.asarray(bits_g), jnp.asarray(n_g)))
+    for s in range(s_loc):
+        ref = np.concatenate([bits_g[j, s, :n_g[j, s]]
+                              for j in range(n_sp)])
+        ref = np.pad(ref, (0, max_bits - len(ref)))
+        assert np.array_equal(got[s], ref), s
+
+
 def test_sharded_compat_scan_matches_single_device(streams):
     """compat_scan=True (the per-sample fp-parity mode) keeps the
     replicated decode tail under sharding and still matches the
