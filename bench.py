@@ -317,17 +317,25 @@ def bench_demod(log):
                                   (n_streams, *np.shape(x))).copy(), st0)
     states = jax.block_until_ready(jax.device_put(states))
 
+    # the WFM carried state hits an exact FIXED POINT on repeated
+    # identical input (delta = n*phi mod 2pi lands on 0 for these
+    # shapes), which lets repeat executions be deduplicated/elided
+    # somewhere in the stack (observed reading as low as 0.05 ms/step —
+    # physically impossible); feed a per-iteration counter into one
+    # input sample so every dispatch is genuinely distinct
     @jax.jit
-    def step(re, im, st):
+    def step(re, im, st, i):
+        re = jax.lax.dynamic_update_slice(
+            re, (i.astype(jnp.float32) * 1e-9)[None, None], (0, 0))
         f = lambda iq1, st1: demod_block(iq1, cfg, st1)
         audio, mx, avg, ns = jax.vmap(f)(CF(re, im), st)
         return audio.sum() + mx.sum(), ns
 
-    res = jax.block_until_ready(step(iq.re, iq.im, states))
+    res = jax.block_until_ready(step(iq.re, iq.im, states, jnp.int32(0)))
     iters, st = 10, states
     t0 = time.time()
-    for _ in range(iters):
-        out = step(iq.re, iq.im, st)
+    for i in range(iters):
+        out = step(iq.re, iq.im, st, jnp.int32(i + 1))
         st = out[1]
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters

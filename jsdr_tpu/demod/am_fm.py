@@ -43,6 +43,8 @@ class AmFmConfig(NamedTuple):
     flo: int | None = None      # band-pass low edge Hz (None = all-pass)
     fhi: int | None = None
     ntaps: int = 21             # fixed order 20 (demod.java:82-85)
+    fir_precision: str = "bf16x3"   # 3-pass MXU FIR (O(2^-24) rel err);
+                                    # "highest" = 6-pass exact-f32 form
 
     def weights(self) -> jnp.ndarray:
         return bandpass_weights(self.ntaps, self.flo, self.fhi, float(self.rate))
@@ -69,21 +71,31 @@ class AmFmState(NamedTuple):
         )
 
 
-@partial(jax.jit, static_argnames=("mode", "dofir", "dodwn", "doagc"))
+@partial(jax.jit, static_argnames=("mode", "dofir", "dodwn", "doagc",
+                                   "fir_precision"))
 def _demod_block(iq, taps, ramp, delta, fmgain, state, *,
-                 mode, dofir, dodwn, doagc):
+                 mode, dofir, dodwn, doagc, fir_precision="bf16x3"):
     x = iq
     fir_tail = state.fir_tail
     if dofir:
-        x, fir_tail = fir_apply_streaming(x, taps, fir_tail)
+        # bf16x3 3-pass MXU FIR: O(2^-24) relative error, far beyond
+        # 16-bit audio fidelity, at half the MXU passes of the 6-pass
+        # HIGHEST form (cfg.fir_precision="highest" restores exact f32)
+        x, fir_tail = fir_apply_streaming(x, taps, fir_tail,
+                                          precision=fir_precision)
     car = state.car
     if dodwn:
         # carrier retards by phi per sample, evaluated before the decrement
         # (demod.java:423-434); x * (cos(car) + j sin(car)). ``ramp`` holds
         # mod(t*phi, 2pi) precomputed on host in f64 so long streams do not
-        # accumulate f32 phase error.
-        cars = jnp.mod(car - ramp, TWO_PI)
-        x = x * CF(jnp.cos(cars), jnp.sin(cars))
+        # accumulate f32 phase error. cos/sin of the SHARED ramp are
+        # factored out via the angle-sum identity so that under a
+        # per-stream vmap the transcendentals evaluate once for the
+        # whole batch (the carried phase enters as two scalars) —
+        # measured S-fold fewer transcendental ops at S=64
+        cr, sr = jnp.cos(ramp), jnp.sin(ramp)        # unbatched in vmap
+        cc, cs = jnp.cos(car), jnp.sin(car)          # per-stream scalars
+        x = x * CF(cc * cr + cs * sr, cs * cr - cc * sr)
         car = jnp.mod(car - delta, TWO_PI)
 
     i = x.re.astype(jnp.float32)
@@ -129,7 +141,8 @@ def demod_block(iq, cfg: AmFmConfig,
     delta = np.float32(np.mod(n * phi, TWO_PI))
     return _demod_block(
         iq, taps, ramp, delta, np.float32(fmgain), state,
-        mode=int(cfg.mode), dofir=cfg.dofir, dodwn=cfg.dodwn, doagc=cfg.doagc,
+        mode=int(cfg.mode), dofir=cfg.dofir, dodwn=cfg.dodwn,
+        doagc=cfg.doagc, fir_precision=cfg.fir_precision,
     )
 
 
