@@ -81,9 +81,21 @@ def bench_fec(log):
         ok = int(res.ok.sum())
         t_compile = time.time() - t0
         iters = 10
+
+        # perturb one soft symbol per iteration so no two dispatches are
+        # identical (repeat-elision hazard, see bench_demod): flipping a
+        # confidence bit adds one correctable channel error at most
+        @jax.jit
+        def step(x, i):
+            x = x.at[0, 0].set(
+                ((x[0, 0].astype(jnp.int32) + i) % 256).astype(jnp.uint8))
+            r = fec_decode(x)
+            return r.ok.sum(), r.rc.sum()
+
+        jax.block_until_ready(step(x, jnp.int32(0)))
         t0 = time.time()
-        for _ in range(iters):
-            res = fec_decode(x)
+        for i in range(iters):
+            res = step(x, jnp.int32(i + 1))
         jax.block_until_ready(res)
         dt = (time.time() - t0) / iters
         log(f"fec_decode batch={batch}: {dt*1000:.1f} ms -> "

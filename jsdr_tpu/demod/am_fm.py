@@ -43,8 +43,12 @@ class AmFmConfig(NamedTuple):
     flo: int | None = None      # band-pass low edge Hz (None = all-pass)
     fhi: int | None = None
     ntaps: int = 21             # fixed order 20 (demod.java:82-85)
-    fir_precision: str = "bf16x3"   # 3-pass MXU FIR (O(2^-24) rel err);
-                                    # "highest" = 6-pass exact-f32 form
+    fir_precision: str = "highest"  # exact-f32 FIR. "bf16x3" measured
+                                    # 20% SLOWER here (31.0 vs 25.8 ms
+                                    # at 64x10s WFM: this FIR is data-
+                                    # movement-bound and the bf16 data
+                                    # splits cost more than the passes
+                                    # they save)
 
     def weights(self) -> jnp.ndarray:
         return bandpass_weights(self.ntaps, self.flo, self.fhi, float(self.rate))
@@ -74,13 +78,10 @@ class AmFmState(NamedTuple):
 @partial(jax.jit, static_argnames=("mode", "dofir", "dodwn", "doagc",
                                    "fir_precision"))
 def _demod_block(iq, taps, ramp, delta, fmgain, state, *,
-                 mode, dofir, dodwn, doagc, fir_precision="bf16x3"):
+                 mode, dofir, dodwn, doagc, fir_precision="highest"):
     x = iq
     fir_tail = state.fir_tail
     if dofir:
-        # bf16x3 3-pass MXU FIR: O(2^-24) relative error, far beyond
-        # 16-bit audio fidelity, at half the MXU passes of the 6-pass
-        # HIGHEST form (cfg.fir_precision="highest" restores exact f32)
         x, fir_tail = fir_apply_streaming(x, taps, fir_tail,
                                           precision=fir_precision)
     car = state.car
