@@ -51,7 +51,7 @@ def main():
 
     @partial(jax.jit, static_argnames=("t",))
     def front(re, im, st, t):
-        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings * B.NU_SCALE, rate)
         ds, tail = mix_decimate(CF(re[:, :t], im[:, :t]), cos_pat, sin_pat,
                                 taps, 10, st.ds_tail,
                                 gain=B.HOWARD_FUDGE_FACTOR)
@@ -59,7 +59,7 @@ def main():
 
     @partial(jax.jit, static_argnames=("t",))
     def front_ds(re, im, st, t):
-        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings * B.NU_SCALE, rate)
         return mix_decimate(CF(re[:, :t], im[:, :t]), cos_pat, sin_pat,
                             taps, 10, st.ds_tail,
                             gain=B.HOWARD_FUDGE_FACTOR)[0]

@@ -63,7 +63,7 @@ def main():
     for prec in ("bf16x3", "bf16"):
         @jax.jit
         def front(re, im, st, p=prec):
-            cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+            cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings * B.NU_SCALE, rate)
             ds, tail = mix_decimate(CF(re, im), cos_pat, sin_pat, taps, 10,
                                     st.ds_tail, gain=B.HOWARD_FUDGE_FACTOR,
                                     precision=p)
@@ -73,7 +73,7 @@ def main():
 
         @jax.jit
         def front_mf(re, im, st, p=prec):
-            cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+            cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings * B.NU_SCALE, rate)
             mf, tail, mtail = mix_decimate_mf(
                 CF(re, im), cos_pat, sin_pat, taps, 10, st.ds_tail,
                 vcoc, vcos, B.DM_FILTER.astype(np.float32), mft,

@@ -70,7 +70,7 @@ def main():
 
     @jax.jit
     def front_ds(re, im, st):
-        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings * B.NU_SCALE, rate)
         ds, tail = mix_decimate(CF(re, im), cos_pat, sin_pat, taps, 10,
                                 st.ds_tail, gain=B.HOWARD_FUDGE_FACTOR)
         return ds, tail

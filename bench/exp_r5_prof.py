@@ -69,7 +69,7 @@ def main():
 
     @jax.jit
     def kernel_only(re, im, st):
-        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings * B.NU_SCALE, rate)
         wf, mx, idx, ds, tl = spectrum_front_fused(
             CF(re, im), fft_n, cos_pat, sin_pat, taps, m, st.ds_tail,
             gain=B.HOWARD_FUDGE_FACTOR)
@@ -78,17 +78,17 @@ def main():
 
     @jax.jit
     def front_only(re, im, st):
-        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings, rate)
+        cos_pat, sin_pat = B._nco_pattern(st.tu_phase, tunings * B.NU_SCALE, rate)
         ds, tl = mix_decimate(CF(re, im), cos_pat, sin_pat, taps, m,
                               st.ds_tail, gain=B.HOWARD_FUDGE_FACTOR)
         return ds.re.sum() + ds.im.sum() + tl.re.sum()
 
     # precompute the decimated stream for the tail-only measurement
-    cos_pat, sin_pat = B._nco_pattern(states.tu_phase, tunings, rate)
+    cos_pat, sin_pat = B._nco_pattern(states.tu_phase, tunings * B.NU_SCALE, rate)
     ds, _ = mix_decimate(CF(iq.re, iq.im), cos_pat, sin_pat, taps, m,
                          states.ds_tail, gain=B.HOWARD_FUDGE_FACTOR)
     ds = jax.block_until_ready(ds)
-    tu_phase = B._nco_advance(states.tu_phase, tunings, rate, t_len)
+    tu_phase = B._nco_advance(states.tu_phase, tunings * B.NU_SCALE, rate, t_len)
 
     @jax.jit
     def tail_only(dsr, dsi, st, tup):

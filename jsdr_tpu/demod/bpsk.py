@@ -147,7 +147,8 @@ class TimingState(NamedTuple):
 
 
 class BpskState(NamedTuple):
-    tu_phase: jnp.ndarray   # scalar f32 tuner NCO phase in [0, 2pi)
+    tu_phase: jnp.ndarray   # scalar f32 tuner NCO phase NUMERATOR in
+                            # [0, NU_SCALE*rate) — phase = 2pi*nu/den
     ds_tail: CF             # [26] planar decimator history
     vco_idx: jnp.ndarray    # scalar i32 decimated-sample counter mod 8
     mf_tail: CF             # [64] planar matched-filter history
@@ -180,97 +181,113 @@ def bpsk_init(cfg: BpskConfig) -> BpskState:
 
 
 # ---------------------------------------------------------------------------
-# Tuner NCO as an integer phase NUMERATOR.
+# Tuner NCO as an integer phase NUMERATOR, in 0.1 Hz units.
 #
-# The carried tuner phase is a numerator nu with phase = 2*pi*nu/rate,
-# nu in [0, rate). The reference's tuning config key is an integer
-# property (jsdr.java:87-95, FUNcube<n>-bpsk-tuning), so for integral
-# tunings every NCO quantity is EXACT int32 arithmetic:
+# The carried tuner phase is a numerator nu with phase =
+# 2*pi*nu/(NU_SCALE*rate), nu in [0, NU_SCALE*rate). The reference's
+# tuning config key is an integer property (jsdr.java:87-95,
+# FUNcube<n>-bpsk-tuning); storing numerators in tenth-Hz units keeps
+# every integral tuning exact AND extends the exact path to any tuning
+# that is a multiple of 0.1 Hz (round 3 pushed fractional tunings onto
+# a host-ramp path that recompiled per tuning set):
 #
-#   nu_k        = (nu_0 + k*tuning) mod rate          (phase after k samples)
-#   table index = floor(SINCOS_SIZE * nu_k / rate)    (:93-95, 381-397)
+#   nu_k        = (nu_0 + k*tu10) mod den,  den = NU_SCALE*rate,
+#                 tu10 = tuning in 0.1 Hz   (phase after k samples)
+#   table index = floor(SINCOS_SIZE * nu_k / den)     (:93-95, 381-397)
 #
-# This makes the per-stream tunings a TRACED [S] int32 array — N demod
-# instances with independent tunings run in ONE compiled step and
-# retuning never recompiles (the analog of N FUNcubeBPSKDemod tabs each
-# with its own FUNcube<n>-bpsk-tuning, jsdr.java:479-484) — and makes
-# shard phase offsets in parallel/sharded.py exact by construction.
+# All intermediates stay inside int32 (worst case at 192 kS/s:
+# den = 1.92e6; kram tu*127 < 2.5e8; c0ram < 1.97e9 < 2^31). Table
+# indices for integral tunings are IDENTICAL to the rate-unit form
+# (floor(256*10v/10rate) == floor(256*v/rate)), so behavior is
+# bit-for-bit unchanged there. Per-stream tunings are a TRACED [S]
+# int32 array — N demod instances with independent tunings run in ONE
+# compiled step and retuning never recompiles (the analog of N
+# FUNcubeBPSKDemod tabs, jsdr.java:479-484) — and shard phase offsets
+# in parallel/sharded.py are exact by construction.
 # ---------------------------------------------------------------------------
 
+NU_SCALE = 10                 # numerator units per Hz (0.1 Hz resolution)
 
-def _modmul_static(tu: jnp.ndarray, m: int, rate: int) -> jnp.ndarray:
-    """(m * tu) mod rate for traced int32 tu in [0, rate), static int m
-    (any sign/size). Binary double-and-add keeps every value < 2*rate,
-    comfortably inside int32 for rate <= 192000."""
-    m = int(m) % rate
+
+def _modmul_static(tu: jnp.ndarray, m: int, den: int) -> jnp.ndarray:
+    """(m * tu) mod den for traced int32 tu in [0, den), static int m
+    (any sign/size). Binary double-and-add keeps every value < 2*den,
+    comfortably inside int32 for den <= NU_SCALE*192000."""
+    m = int(m) % den
     acc = jnp.zeros_like(tu)
-    cur = tu % rate
+    cur = tu % den
     while m:
         if m & 1:
-            acc = (acc + cur) % rate
-        cur = (cur + cur) % rate
+            acc = (acc + cur) % den
+        cur = (cur + cur) % den
         m >>= 1
     return acc
 
 
-def _modmul_traced(tu: jnp.ndarray, k: jnp.ndarray, rate: int,
-                   k_bits: int = 20) -> jnp.ndarray:
-    """(k * tu) mod rate with BOTH operands traced int32 in [0, rate)."""
+def _modmul_traced(tu: jnp.ndarray, k: jnp.ndarray, den: int,
+                   k_bits: int = 21) -> jnp.ndarray:
+    """(k * tu) mod den with BOTH operands traced int32 in [0, den)
+    (21 bits cover k < 2^21 > NU_SCALE*192000)."""
     acc = jnp.zeros_like(tu)
-    cur = tu % rate
+    cur = tu % den
     for j in range(k_bits):
-        acc = jnp.where((k >> j) & 1 == 1, (acc + cur) % rate, acc)
-        cur = (cur + cur) % rate
+        acc = jnp.where((k >> j) & 1 == 1, (acc + cur) % den, acc)
+        cur = (cur + cur) % den
     return acc
 
 
-def nco_numerators(nu0: jnp.ndarray, tu: jnp.ndarray, n: int, rate: int,
+def nco_numerators(nu0: jnp.ndarray, tu: jnp.ndarray, n: int, den: int,
                    start: int = 1) -> jnp.ndarray:
-    """[..., n] exact phase numerators (nu0 + (start+i)*tu) mod rate for
+    """[..., n] exact phase numerators (nu0 + (start+i)*tu) mod den for
     i in [0, n), traced int32 tunings. Two-level split i = 128*c + k
-    keeps all products in int32 up to n ~ 1.4e9 samples."""
-    tu = tu % rate
-    base0 = (nu0 + _modmul_static(tu, start, rate)) % rate
+    keeps all products in int32 up to n ~ 1.4e9 samples (worst factor:
+    c0ram step128*1023 < 1.97e9 < 2^31 at den = NU_SCALE*192000)."""
+    tu = tu % den
+    base0 = (nu0 + _modmul_static(tu, start, den)) % den
     kram = (tu[..., None]
-            * jnp.arange(128, dtype=jnp.int32)) % rate          # [..., 128]
-    step128 = (tu * 128) % rate
+            * jnp.arange(128, dtype=jnp.int32)) % den           # [..., 128]
+    step128 = (tu * 128) % den
     c_cnt = -(-n // 128)
     c0_cnt = min(1024, c_cnt)
     c1_cnt = -(-c_cnt // c0_cnt)
-    assert c1_cnt * (rate - 1) < 2 ** 31
-    step_l2 = (step128 * c0_cnt) % rate
+    assert c1_cnt * (den - 1) < 2 ** 31
+    step_l2 = (step128 * c0_cnt) % den
     c1ram = (step_l2[..., None]
-             * jnp.arange(c1_cnt, dtype=jnp.int32)) % rate      # [..., c1]
+             * jnp.arange(c1_cnt, dtype=jnp.int32)) % den       # [..., c1]
     c0ram = (step128[..., None]
-             * jnp.arange(c0_cnt, dtype=jnp.int32)) % rate      # [..., c0]
-    base_c = (c1ram[..., :, None] + c0ram[..., None, :]) % rate
+             * jnp.arange(c0_cnt, dtype=jnp.int32)) % den       # [..., c0]
+    base_c = (c1ram[..., :, None] + c0ram[..., None, :]) % den
     base_c = base_c.reshape(*base_c.shape[:-2], -1)[..., :c_cnt]
     nums = (base0[..., None, None] + base_c[..., None]
-            + kram[..., None, :]) % rate                        # [..., c, 128]
+            + kram[..., None, :]) % den                         # [..., c, 128]
     return nums.reshape(*nums.shape[:-2], -1)[..., :n]
 
 
-def _num_to_cossin(nums: jnp.ndarray, rate: int):
+def _num_to_cossin(nums: jnp.ndarray, den: int):
     """Numerators -> quantized-table (cos, sin) values (:93-95)."""
-    idx = (nums * SINCOS_SIZE) // rate
+    idx = (nums * SINCOS_SIZE) // den
     ang = idx.astype(jnp.float32) * np.float32(TWO_PI / SINCOS_SIZE)
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def _nco_pattern(nu0: jnp.ndarray, tu: jnp.ndarray, rate: int):
     """[..., 128] quantized-table mix pattern (cos, sin) for the fused
-    mix+decimate kernel. Valid as a periodic broadcast iff each stream's
-    (128 * tuning) % rate == 0 (checked by the dispatch wrapper);
-    tu <= 0 streams pass through un-mixed (:388, :394-396)."""
-    nums = nco_numerators(nu0.astype(jnp.int32), tu, 128, rate, start=1)
-    c, s = _num_to_cossin(nums, rate)
+    mix+decimate kernel. ``tu`` is in 0.1 Hz numerator units
+    (NU_SCALE); valid as a periodic broadcast iff each stream's
+    (128 * tu10) % (NU_SCALE*rate) == 0 (checked by the dispatch
+    wrapper); tu <= 0 streams pass through un-mixed (:388, :394-396)."""
+    den = NU_SCALE * rate
+    nums = nco_numerators(nu0.astype(jnp.int32), tu, 128, den, start=1)
+    c, s = _num_to_cossin(nums, den)
     on = (tu > 0)[..., None]
     return jnp.where(on, c, 1.0), jnp.where(on, s, 1.0)
 
 
 def _nco_advance(nu0: jnp.ndarray, tu: jnp.ndarray, rate: int, n: int):
-    """Carried numerator after n samples (tu <= 0: phase frozen)."""
-    adv = (nu0.astype(jnp.int32) + _modmul_static(tu % rate, n, rate)) % rate
+    """Carried numerator after n samples (tu <= 0: phase frozen); tu in
+    NU_SCALE (0.1 Hz) units, numerator modulo NU_SCALE*rate."""
+    den = NU_SCALE * rate
+    adv = (nu0.astype(jnp.int32) + _modmul_static(tu % den, n, den)) % den
     return jnp.where(tu > 0, adv, nu0.astype(jnp.int32)).astype(jnp.float32)
 
 
@@ -278,10 +295,12 @@ def _tuner_full_mix(iq: CF, nu0: jnp.ndarray, tu: jnp.ndarray, rate: int):
     """Full-length quantized-table tuner mix (mi = i*cos, mq = q*sin —
     the reference's non-complex quirk, :389-390) for traced integral
     tunings of ANY period — the general path when the 128-lane periodic
-    pattern does not apply. iq: [..., T]; nu0/tu: [...]."""
+    pattern does not apply. iq: [..., T]; nu0/tu: [...], tu in NU_SCALE
+    (0.1 Hz) units."""
+    den = NU_SCALE * rate
     n = iq.shape[-1]
-    nums = nco_numerators(nu0.astype(jnp.int32), tu, n, rate, start=1)
-    c, s = _num_to_cossin(nums, rate)
+    nums = nco_numerators(nu0.astype(jnp.int32), tu, n, den, start=1)
+    c, s = _num_to_cossin(nums, den)
     on = (tu > 0)[..., None]
     mixed = CF(iq.re * jnp.where(on, c, 1.0),
                iq.im * jnp.where(on, s, 1.0))
@@ -289,33 +308,47 @@ def _tuner_full_mix(iq: CF, nu0: jnp.ndarray, tu: jnp.ndarray, rate: int):
 
 
 def _tuner_mix(iq: CF, nu0: jnp.ndarray, tuning: float, rate: int):
-    """STATIC-tuning tuner mix (legacy/fractional path): the per-sample
-    numerator ramp is computed host-side in float64 — supports
-    non-integral tunings, recompiles when the tuning value changes."""
+    """STATIC-tuning tuner mix (legacy path for sub-0.1 Hz fractional
+    tunings): the per-sample numerator ramp is computed host-side in
+    float64 — recompiles when the tuning value changes. The carried
+    ``nu0`` is in NU_SCALE (0.1 Hz) numerator units like every other
+    path; this converts at the boundary."""
     n = iq.shape[-1]
     if tuning <= 0.0:
         # phase never goes positive -> pass-through (:388, :394-396)
         return iq, nu0
+    nu_r = nu0.astype(jnp.float32) / np.float32(NU_SCALE)
     ramp = np.mod(np.arange(1, n + 1, dtype=np.float64) * float(tuning),
                   rate).astype(np.float32)
-    nums = jnp.mod(nu0.astype(jnp.float32) + jnp.asarray(ramp), float(rate))
+    nums = jnp.mod(nu_r + jnp.asarray(ramp), float(rate))
     idx = (nums * np.float32(SINCOS_SIZE / rate)).astype(jnp.int32) \
         % SINCOS_SIZE
     ang = idx.astype(jnp.float32) * np.float32(TWO_PI / SINCOS_SIZE)
     mixed = CF(iq.re * jnp.cos(ang), iq.im * jnp.sin(ang))
-    nu_out = jnp.mod(nu0 + np.float32(np.mod(n * float(tuning), rate)),
+    nu_out = jnp.mod(nu_r + np.float32(np.mod(n * float(tuning), rate)),
                      np.float32(rate))
-    return mixed, nu_out
+    return mixed, nu_out * np.float32(NU_SCALE)
+
+
+def tunings_to_nu(tunings) -> np.ndarray | None:
+    """Host Hz values -> exact 0.1 Hz numerator ints, or None when some
+    value is not a multiple of 0.1 Hz (the legacy static-ramp path)."""
+    t10 = np.asarray(tunings, np.float64).reshape(-1) * NU_SCALE
+    r = np.round(t10)
+    if not np.allclose(t10, r, atol=1e-6, rtol=0):
+        return None
+    return np.maximum(r, 0.0).astype(np.int32)
 
 
 def pattern_mix_ok(tunings, rate: int) -> bool:
     """True when every stream's quantized NCO index sequence is 128-lane
-    periodic (the fused Pallas fast path): integral tuning with
-    (128 * tuning) % rate == 0."""
-    t = np.asarray(tunings, np.float64).reshape(-1)
-    if not np.all(t == np.round(t)):
+    periodic (the fused Pallas fast path): tuning a multiple of 0.1 Hz
+    with (128 * tu10) % (NU_SCALE * rate) == 0 (for integral tunings
+    this is the same classification as the round-3 integral rule)."""
+    nu = tunings_to_nu(tunings)
+    if nu is None:
         return False
-    return all((128 * int(v)) % rate == 0 for v in np.maximum(t, 0.0))
+    return all((128 * int(v)) % (NU_SCALE * rate) == 0 for v in nu)
 
 
 def _vco_mix(ds: CF, vco_idx: jnp.ndarray):
@@ -836,7 +869,7 @@ def _front_manual(iq, states: BpskState, tunings, *, rate: int,
                                          tail=states.ds_tail,
                                          gain=HOWARD_FUDGE_FACTOR)
     else:
-        # fractional tunings: STATIC per-stream host-f64 ramps (legacy)
+        # sub-0.1 Hz tunings: STATIC per-stream host-f64 ramps (legacy)
         assert manual_mode == "static" and len(static_tunings) == s
         outs = []
         for i, tun in enumerate(static_tunings):
@@ -1012,7 +1045,8 @@ def bpsk_block_batch_spectrum(iq, cfg: BpskConfig, states: BpskState,
     every block).
 
     Returns (WaterfallOut, BpskBlockOut, new_states). Eligible when all
-    streams are manual-tuned with 128-lane-periodic integral tunings and
+    streams are manual-tuned with 128-lane-periodic tunings (0.1 Hz
+    multiples, pattern_mix_ok) and
     T % (4*rate/10) == 0; otherwise falls back to the staged
     spectrum_waterfall + bpsk_block_batch pair (same results, one extra
     input read).
@@ -1043,11 +1077,10 @@ def bpsk_block_batch_spectrum(iq, cfg: BpskConfig, states: BpskState,
     sf_blocks, _ = sf_geometry(n, cfg.rate // DOWN_SAMPLE_RATE)
     eligible = (not cfg.dofft and not cfg.fuse_mf
                 and t_len % (sf_blocks * n) == 0
-                and np.all(tun_np == np.round(tun_np))
                 and pattern_mix_ok(tun_np, cfg.rate)
                 and t_len % (8 * cfg.decim) == 0)
     if eligible:
-        tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
+        tun_arr = tunings_to_nu(tun_np)
         return _bpsk_spectrum_batched(
             iq, states, tun_arr, rate=cfg.rate, window=window,
             max_hits=cfg.max_hits_per_block, compat_scan=cfg.compat_scan,
@@ -1082,7 +1115,8 @@ def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
     ``tunings``: host array-like [S] of per-stream NCO Hz (defaults to
     cfg.tuning for every stream) — the analog of N FUNcubeBPSKDemod tabs
     each with its own FUNcube<n>-bpsk-tuning (jsdr.java:479-484,
-    FUNcubeBPSKDemod.java:195-196). Integral tunings are traced data:
+    FUNcubeBPSKDemod.java:195-196). Any tuning that is a multiple of
+    0.1 Hz is traced data (exact 0.1 Hz-unit integer numerators):
     retuning between calls does NOT recompile. The host owns this array;
     pass plain numpy/ints.
 
@@ -1121,21 +1155,25 @@ def bpsk_block_batch(iq, cfg: BpskConfig, states: BpskState, tunings=None,
         np.asarray(cfg.track_high if track_high is None else track_high,
                    bool), (s,)).copy()
     static_tunings = None
-    if np.all(tun_np == np.round(tun_np)):
+    nu = tunings_to_nu(tun_np)
+    if nu is not None:
+        # any multiple of 0.1 Hz rides the exact int-numerator path:
+        # traced data, never recompiles (round 3 supported integral
+        # tunings only; the reference key is integral, jsdr.java:87-95)
         manual_mode = "pattern" if pattern_mix_ok(tun_np, cfg.rate) \
             else "general"
-        tun_arr = np.maximum(tun_np, 0.0).astype(np.int32)
+        tun_arr = nu
     else:
-        # fractional tunings take the legacy host-ramp path whose ramps
-        # are baked into the compilation — make the per-tuning-set
-        # recompile visible instead of silently eating a compile each
-        # time the user passes e.g. 12000.5 (the reference's tuning key
-        # is integral, jsdr.java:87-95, so this path is off-contract)
+        # sub-0.1 Hz fractional tunings take the legacy host-ramp path
+        # whose ramps are baked into the compilation — make the
+        # per-tuning-set recompile visible instead of silently eating a
+        # compile each time
         import warnings
         warnings.warn(
-            f"fractional tunings {tun_np.tolist()} use the static mix "
-            "path: every distinct tuning set triggers a recompilation "
-            "(integral tunings are traced data and never recompile)",
+            f"tunings {tun_np.tolist()} are not multiples of 0.1 Hz and "
+            "use the static mix path: every distinct tuning set triggers "
+            "a recompilation (0.1 Hz-multiple tunings are traced data "
+            "and never recompile)",
             RuntimeWarning, stacklevel=2)
         manual_mode = "static"
         static_tunings = tuple(float(t) for t in tun_np)

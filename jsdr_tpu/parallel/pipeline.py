@@ -138,7 +138,8 @@ def pipelined_telemetry(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
     out[t] decodes input block t-(n_stages-1) (earlier ticks have
     valid=False and all-zero fields). ``bubble`` [n_mb] bool marks ticks
     whose input must NOT be consumed (used by ``pipeline_flush``).
-    Integral per-stream tunings only (the exact int-numerator NCO path).
+    Per-stream tunings must be multiples of 0.1 Hz (the exact
+    int-numerator NCO path).
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
@@ -265,11 +266,10 @@ def pipelined_telemetry(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
         n_mb, s = iq.shape[:2]
         if tunings is None:
             tunings = np.full(s, 12000)
-        tun = np.asarray(tunings, np.float64)
-        assert np.all(tun == np.round(tun)), \
-            "pipelined path needs integral tunings"
-        tun_arr = np.maximum(tun, 0.0).astype(np.int32)
-        manual = "pattern" if B.pattern_mix_ok(tun, rate) else "general"
+        tun_arr = B.tunings_to_nu(tunings)
+        assert tun_arr is not None, \
+            "pipelined path needs tunings in multiples of 0.1 Hz"
+        manual = "pattern" if B.pattern_mix_ok(tunings, rate) else "general"
         dofft_np = np.broadcast_to(
             np.asarray(False if dofft is None else dofft, bool), (s,)).copy()
         th_np = np.broadcast_to(

@@ -89,12 +89,13 @@ def _front_manual_local(iq_loc: CF, nu0, tu, *, rate: int):
     offsets (RxMixTuner at scale, FUNcubeBPSKDemod.java:382-397).
     Returns the mixed feed [s_loc, t_loc]."""
     t_loc = iq_loc.shape[-1]
+    den = B.NU_SCALE * rate          # numerators in 0.1 Hz units
     sp_idx = lax.axis_index("sp")
-    g0 = (sp_idx.astype(jnp.int32) * np.int32(t_loc % rate)) % rate
+    g0 = (sp_idx.astype(jnp.int32) * np.int32(t_loc % den)) % den
     nu_shard = (nu0.astype(jnp.int32)
-                + B._modmul_traced(tu, g0, rate)) % rate
-    nums = B.nco_numerators(nu_shard, tu, t_loc, rate, start=1)
-    c, s = B._num_to_cossin(nums, rate)
+                + B._modmul_traced(tu, g0, den)) % den
+    nums = B.nco_numerators(nu_shard, tu, t_loc, den, start=1)
+    c, s = B._num_to_cossin(nums, den)
     on = (tu > 0)[..., None]
     return CF(iq_loc.re * jnp.where(on, c, 1.0),
               iq_loc.im * jnp.where(on, s, 1.0))
@@ -553,10 +554,9 @@ def sharded_telemetry_step(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
         s = iq.shape[0]
         if tunings is None:
             tunings = np.full(s, 12000)
-        tun = np.asarray(tunings, np.float64)
-        assert np.all(tun == np.round(tun)), \
-            "sharded path needs integral tunings"
-        tun_arr = np.maximum(tun, 0.0).astype(np.int32)
+        tun_arr = B.tunings_to_nu(tunings)
+        assert tun_arr is not None, \
+            "sharded path needs tunings in multiples of 0.1 Hz"
         dofft_np = np.broadcast_to(
             np.asarray(False if dofft is None else dofft, bool), (s,)).copy()
         th_np = np.broadcast_to(

@@ -62,6 +62,53 @@ def test_block_size_invariance(rng):
     assert g1 == g2 == g3 == 1
 
 
+def test_tenth_hz_tuning_traced_no_recompile(rng):
+    """Round-4: tunings that are multiples of 0.1 Hz ride the exact
+    0.1 Hz-unit integer-numerator path — traced data, decode works, and
+    retuning to another 0.1 Hz multiple does NOT recompile (round 3
+    pushed any fractional tuning onto a per-tuning-set recompiling
+    static path). Sub-0.1 Hz values still warn and recompile."""
+    import warnings
+    from jsdr_tpu.demod.bpsk import (_bpsk_block_batched, bpsk_block_batch,
+                                     bpsk_init_batch, pattern_mix_ok,
+                                     tunings_to_nu)
+
+    assert tunings_to_nu([12000.5]) is not None
+    assert tunings_to_nu([12000.05]) is None
+    assert not pattern_mix_ok([12000.5], 96000)   # general path
+
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=96000, carrier_offset=12000.5,
+                            preamble_bits=200)
+    n = len(sig) + (-len(sig)) % 96000
+    iq = np.zeros((1, n), np.complex64)
+    iq[0, :len(sig)] = sig
+    cfg = BpskConfig(rate=96000)
+    states = bpsk_init_batch(cfg, 1)
+    good = 0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # traced path must NOT warn
+        for b in range(n // 96000):
+            out, states = bpsk_block_batch(
+                iq[:, b * 96000:(b + 1) * 96000], cfg, states,
+                np.asarray([12000.5]))
+            nh = int(out.n_hits[0])
+            if nh:
+                res = fec_decode(out.windows[0, :nh])
+                good += sum(bool(res.ok[i]) and np.array_equal(
+                    np.asarray(res.payload[i]), payloads[0])
+                    for i in range(nh))
+    assert good == 1
+    n_compiles = _bpsk_block_batched._cache_size()
+    bpsk_block_batch(iq[:, :96000], cfg, bpsk_init_batch(cfg, 1),
+                     np.asarray([11999.9]))
+    assert _bpsk_block_batched._cache_size() == n_compiles
+    # sub-0.1 Hz: the legacy static path, with its recompile warning
+    with pytest.warns(RuntimeWarning, match="0.1 Hz"):
+        bpsk_block_batch(iq[:, :96000], cfg, bpsk_init_batch(cfg, 1),
+                         np.asarray([12000.05]))
+
+
 def test_wrong_tuning_no_decode(rng):
     """Tuned 3 kHz off, the decimation filter rejects the signal."""
     payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)

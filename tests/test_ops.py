@@ -200,8 +200,9 @@ def test_mix_decimate_fused_matches_reference(rng):
 def test_nco_pattern_matches_full_mix(rng):
     """The 128-lane periodic NCO pattern tiles to exactly the per-sample
     quantized-table ramp (FUNcubeBPSKDemod.java:381-397), per stream."""
-    from jsdr_tpu.demod.bpsk import (_nco_pattern, _tuner_full_mix,
-                                     _nco_advance, pattern_mix_ok)
+    from jsdr_tpu.demod.bpsk import (NU_SCALE, _nco_pattern,
+                                     _tuner_full_mix, _nco_advance,
+                                     pattern_mix_ok)
     from jsdr_tpu.ops.cplx import CF
 
     rate, t = 96000, 9600
@@ -210,7 +211,7 @@ def test_nco_pattern_matches_full_mix(rng):
     x = CF(jnp.asarray(rng.normal(size=(3, t)).astype(np.float32)),
            jnp.asarray(rng.normal(size=(3, t)).astype(np.float32)))
     nu0 = jnp.zeros(3, jnp.float32)
-    tu = jnp.asarray(tunings)
+    tu = jnp.asarray(tunings * NU_SCALE)     # traced 0.1 Hz units
     want, nu_want = _tuner_full_mix(x, nu0, tu, rate)
     cos_pat, sin_pat = _nco_pattern(nu0, tu, rate)
     reps = t // 128
@@ -249,8 +250,11 @@ def test_static_fractional_tuner_mix(rng):
     x = CF(jnp.asarray(rng.normal(size=t).astype(np.float32)),
            jnp.asarray(rng.normal(size=t).astype(np.float32)))
     mixed, nu = _tuner_mix(x, jnp.asarray(np.float32(0.0)), 12000.5, rate)
-    # phase numerator after t samples = (t * 12000.5) mod rate
-    np.testing.assert_allclose(float(nu), (t * 12000.5) % rate, atol=0.5)
+    # phase numerator after t samples = (t * 12000.5) mod rate, stored
+    # in NU_SCALE (0.1 Hz) units like every other path
+    from jsdr_tpu.demod.bpsk import NU_SCALE
+    np.testing.assert_allclose(float(nu), ((t * 12000.5) % rate) * NU_SCALE,
+                               atol=5.0)
     assert not np.allclose(np.asarray(mixed.re), np.asarray(x.re))
 
 
