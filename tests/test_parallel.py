@@ -211,6 +211,64 @@ def test_sharded_dofft_matches_single_device():
     assert int(states.fft_tuner.centre_bin[0]) == 0
 
 
+def test_sharded_randomized_property_matches_single_device():
+    """Randomized sharded-vs-single-device property check beyond the
+    fixed fixtures: random segment lengths, random 0.1 Hz-multiple
+    tunings (incl. a fractional and a pass-through 0), frames at random
+    offsets in noise — every segment's bits/hits/windows and the final
+    carried state must match the single-device chain bit-for-bit."""
+    rng = np.random.default_rng(77)
+    rate = 96000
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=rate)
+    step = sharded_telemetry_step(mesh, rate=rate)
+    for trial in range(2):
+        # segment length: random multiple of sp*80 in [1.0s, 2.2s]
+        seg = int(rng.integers(96000, 212000)) // 320 * 320
+        n_seg = 3
+        tunings = np.asarray(
+            [12000, float(rng.integers(80000, 140000)) / 10.0, 0.0, 9000])
+        payloads = rng.integers(0, 256, (2, 256), dtype=np.uint8)
+        arr = (0.25 * (rng.standard_normal((4, n_seg * seg))
+                       + 1j * rng.standard_normal((4, n_seg * seg)))
+               ).astype(np.complex64)
+        off = int(rng.integers(0, seg // 2))
+        s0 = synth_bpsk_stream(payloads[:1], rate=rate, preamble_bits=100,
+                               carrier_offset=12000.0, seed=trial)
+        s1 = synth_bpsk_stream(payloads[1:], rate=rate, preamble_bits=150,
+                               carrier_offset=tunings[1], seed=trial + 9)
+        arr[0, off:off + len(s0)] += s0[:n_seg * seg - off]
+        arr[3, :len(s1)] += s1[:n_seg * seg]
+
+        st_s = bpsk_init_batch(cfg, 4)
+        st_r = bpsk_init_batch(cfg, 4)
+        for b in range(n_seg):
+            blk = arr[:, b * seg:(b + 1) * seg]
+            # re-map stream 3's 9000 tuning to the fractional value to
+            # exercise the general (non-128-periodic) sharded mix too
+            tun = np.asarray([12000.0, tunings[1], 0.0, 9000.0])
+            out, st_s = step(_put(mesh, blk), st_s, tun)
+            ref, st_r = bpsk_block_batch(blk, cfg, st_r, tun)
+            for f in ("n_bits", "bits", "n_hits", "windows", "hit_corr"):
+                assert np.array_equal(np.asarray(getattr(out, f)),
+                                      np.asarray(getattr(ref, f))), (trial,
+                                                                     b, f)
+        # discrete state must be exact; continuous tails may differ by
+        # ulps on CPU, where XLA's dot blocking depends on operand
+        # shape (the per-shard conv operands are 1/sp the width of the
+        # single-device ones) — on TPU the fixed 128-tile MXU blocking
+        # makes them bit-identical (fixed-fixture tests assert that)
+        for f in ("ring", "counters", "vco_idx", "tu_phase"):
+            assert np.array_equal(np.asarray(getattr(st_s, f)),
+                                  np.asarray(getattr(st_r, f))), (trial, f)
+        # (e_out's sharded suffix-weighted composition is documented as
+        # fp-reassociated — observed ~4e-5 relative on this fixture)
+        for a, b_ in zip(jax.tree.leaves(st_s), jax.tree.leaves(st_r)):
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b_, np.float64),
+                                       rtol=2e-4, atol=1e-6)
+
+
 def test_place_segments_matches_concatenation():
     """The sort-free global-bit-stream assembly (_place_segments) must
     equal concatenating each rank's valid prefix, for random counts
