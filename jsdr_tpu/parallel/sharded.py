@@ -49,10 +49,15 @@ Every stage's cross-shard dependence is a tiny carried state:
   the single-device scan order).
 
 Every carried quantity lands back in the SAME BpskState pytree, so the
-sharded step chains bit-exactly (up to documented EMA fp reassociation)
-with the single-device ``bpsk_block_batch`` and with itself across
-segment boundaries (tests/test_parallel.py asserts equality of bits,
-frames and state at 96 k and 192 k).
+sharded step chains bit-exactly with the single-device
+``bpsk_block_batch`` and with itself across segment boundaries
+(tests/test_parallel.py asserts equality of bits, frames and state at
+96 k and 192 k, plus a randomized property test). Two bounded fp
+caveats on the STATE (never the decisions): the EMA/e_out carries
+compose in a different (documented) order, and on CPU backends XLA's
+dot blocking depends on operand shape, so the per-shard conv tails can
+differ from the single-device ones by ulps (the TPU MXU's fixed
+128-tile blocking makes them identical).
 
 ``compat_scan=True`` (the per-sample fp-order parity mode) keeps the
 round-3 replicated tail: the sequential scan cannot shard over time.
