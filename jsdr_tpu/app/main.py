@@ -142,6 +142,25 @@ def _is_live(name: str) -> bool:
     return name.startswith(("pipe:", "capture:")) or name in ("-", "fcd")
 
 
+def _parse_mesh(spec):
+    """'DPxSP' / 'auto' -> a ("dp", "sp") Mesh over jax.devices(), or
+    None when no mesh was requested. The production entry to the
+    multi-chip path (the reference shell wires its demod tabs into the
+    running system at jsdr.java:475-502; this wires the sharded step
+    into the Session executor)."""
+    if not spec:
+        return None
+    from ..parallel import make_mesh
+    if spec == "auto":
+        return make_mesh()               # every device on dp
+    try:
+        dp, sp = (int(v) for v in spec.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--mesh {spec!r}: expected DPxSP (e.g. 2x4) "
+                         "or 'auto'")
+    return make_mesh(dp=dp, sp=sp)
+
+
 def _live_spec(name: str, rate: int) -> str:
     """Resolve 'fcd' to the dongle's capture device (FCD.java:235-259)."""
     if name == "fcd":
@@ -229,7 +248,8 @@ def cmd_telemetry_stream(args):
     """Streaming telemetry: live pipe/capture ingest (or paced replay)
     -> N batched demod instances -> decoded frames printed as they
     arrive — the running application loop of the reference's FUNcube
-    tabs."""
+    tabs. With ``--mesh DPxSP`` the same Session runs the multi-chip
+    sharded step (instances over dp, time over sp)."""
     from ..demod.bpsk import BpskConfig
     from ..io.live import PacedSource, StreamSource
     from ..io.sources import FileSource
@@ -237,6 +257,7 @@ def cmd_telemetry_stream(args):
 
     rate = args.rate
     dev_conv = getattr(args, "device_convert", False)
+    mesh = _parse_mesh(getattr(args, "mesh", None))
     if _is_live(args.source):
         src = StreamSource(_live_spec(args.source, rate), rate=rate,
                            i_corr=args.icorr, q_corr=args.qcorr,
@@ -244,11 +265,12 @@ def cmd_telemetry_stream(args):
         chunks = iter(src)
     else:
         fsrc = FileSource(args.source.removeprefix("file:"), rate=rate,
-                          channels=2, i_corr=args.icorr, q_corr=args.qcorr)
+                          channels=2, i_corr=args.icorr, q_corr=args.qcorr,
+                          loop=getattr(args, "loop", False))
         rate = fsrc.rate
         blocks = (fsrc.raw_blocks(rate // 10) if dev_conv
                   else fsrc.blocks(rate // 10))
-        chunks = PacedSource(blocks, rate)
+        chunks = PacedSource(blocks, rate) if args.pace else blocks
     tunings = [float(t) for t in str(args.tuning).split(",")]
     dofft, track_high = _telem_flags(args, len(tunings))
     cfg = BpskConfig(rate=rate, tuning=tunings[0])
@@ -266,10 +288,15 @@ def cmd_telemetry_stream(args):
             row = " ".join(f"{b:02x}" for b in payload[off:off + 16])
             print(f"  {off:3d}: {row}")
 
-    session = Session(source=chunks, block_samples=rate,
+    stage = TelemetryStage(cfg, tunings, dofft=dofft, track_high=track_high,
+                           mesh=mesh)
+    block_samples = TelemetryStage.block_samples_for(cfg, mesh, dofft)
+    session = Session(source=chunks, block_samples=block_samples,
                       i_corr=args.icorr, q_corr=args.qcorr)
     session.pubsub.listen(on_frame)
-    stage = TelemetryStage(cfg, tunings, dofft=dofft, track_high=track_high)
+    if mesh is not None:
+        print(f"mesh dp={mesh.shape['dp']} x sp={mesh.shape['sp']} over "
+              f"{mesh.size} devices; block={block_samples} samples")
     n = session.run([stage], max_blocks=args.blocks)
     print(f"{n} blocks streamed, frames={frames[0]}, "
           f"dropped={session.dropped_blocks or 'none'}")
@@ -281,7 +308,7 @@ def cmd_telemetry(args):
     from ..fec.decoder import fec_decode
     from ..ops.cplx import from_complex
 
-    if _is_live(args.source) or args.pace:
+    if _is_live(args.source) or args.pace or getattr(args, "mesh", None):
         return cmd_telemetry_stream(args)
     iq, rate = _load_iq(args, args.rate)
     tunings = np.asarray([float(t) for t in str(args.tuning).split(",")])
@@ -295,11 +322,12 @@ def cmd_telemetry(args):
     dofft, track_high = _telem_flags(args, n_demods)
     cfg = BpskConfig(rate=rate, tuning=float(tunings[0]))
     st = bpsk_init_batch(cfg, n_demods)
+    ck_meta = {"rate": int(rate), "n_demods": int(n_demods)}
     if args.resume and args.checkpoint:
         from pathlib import Path
         from ..runtime.state import load_state
         if Path(args.checkpoint).exists():
-            st = load_state(args.checkpoint, st)
+            st = load_state(args.checkpoint, st, expect_meta=ck_meta)
             print(f"resumed stream state from {args.checkpoint}")
     block = rate
     iq = np.concatenate([iq, np.zeros((-len(iq)) % block, np.complex64)])
@@ -330,7 +358,7 @@ def cmd_telemetry(args):
                     print(f"  {off:3d}: {row}")
     if args.checkpoint:
         from ..runtime.state import save_state
-        save_state(args.checkpoint, st)
+        save_state(args.checkpoint, st, meta=ck_meta)
         print(f"stream state -> {args.checkpoint}")
     c = np.asarray(st.counters)
     for s in range(n_demods):
@@ -547,12 +575,19 @@ def main(argv=None):
                     help="resume stream state from --checkpoint")
     tl.add_argument("--pace", action="store_true",
                     help="replay a file source at real-time rate")
+    tl.add_argument("--loop", action="store_true",
+                    help="loop the file source at EOF (streaming path)")
     tl.add_argument("--blocks", type=int, default=None,
                     help="stop streaming after N 1s blocks")
     tl.add_argument("--device-convert", action="store_true",
                     help="stream raw int16 and convert on the TPU "
                     "(half the upload bytes; JavaAudio.java:275-293 "
                     "semantics on-device)")
+    tl.add_argument("--mesh", metavar="DPxSP",
+                    help="run the multi-chip sharded step over a "
+                    "('dp','sp') device mesh, e.g. 2x4, or 'auto' "
+                    "(all devices on dp); demod instances shard over "
+                    "dp, the time axis over sp with halo exchange")
     tl.set_defaults(fn=cmd_telemetry)
 
     sy = sub.add_parser("synth", help="generate test fixtures")
@@ -611,6 +646,9 @@ def main(argv=None):
                     "omit to open one later with Ctrl-O/Ctrl-D")
     ui.add_argument("--no-pace", action="store_true",
                     help="replay files at full speed instead of real-time")
+    ui.add_argument("--mesh", metavar="DPxSP",
+                    help="run the telemetry tabs over a multi-chip "
+                    "('dp','sp') mesh (e.g. 2x4 or 'auto')")
     ui.set_defaults(fn=cmd_ui)
 
     args = p.parse_args(argv)

@@ -240,8 +240,12 @@ def nco_numerators(nu0: jnp.ndarray, tu: jnp.ndarray, n: int, den: int,
                    start: int = 1) -> jnp.ndarray:
     """[..., n] exact phase numerators (nu0 + (start+i)*tu) mod den for
     i in [0, n), traced int32 tunings. Two-level split i = 128*c + k
-    keeps all products in int32 up to n ~ 1.4e9 samples (worst factor:
-    c0ram step128*1023 < 1.97e9 < 2^31 at den = NU_SCALE*192000)."""
+    keeps all products in int32 up to n ~ 1.4e8 samples at 192 kS/s
+    (~2.9e8 at 96 k): the binding factor is c1ram's step_l2*(c1_cnt-1)
+    < 2^31 at den = NU_SCALE*rate, guarded by the assert below (the
+    tenth-Hz denominator cut the round-3 ~1.4e9 headroom 10x). A 1.4e8-
+    sample dispatch is ~12 minutes of 192 k stream — far past the
+    executor's 1 s blocks; chained steps reset n per call."""
     tu = tu % den
     base0 = (nu0 + _modmul_static(tu, start, den)) % den
     kram = (tu[..., None]

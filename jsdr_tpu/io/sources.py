@@ -42,11 +42,19 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int, int]:
             if fmt[0] == 0xFFFE and size >= 26:   # WAVE_FORMAT_EXTENSIBLE
                 fmt[0] = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
+            if len(body) < size:
+                raise ValueError(
+                    f"{path}: truncated data chunk (header declares "
+                    f"{size} bytes, {len(body)} present)")
             data = body
+            break          # first data chunk wins (spec allows only one)
         pos += 8 + size + (size & 1)              # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     tag, channels, rate, _, _, bits = fmt
+    width = max(bits // 8, 1)
+    if len(data) % width:                         # trim a ragged tail byte
+        data = data[: len(data) - len(data) % width]
     if tag == 1:                                  # integer PCM
         if bits == 8:                             # unsigned by spec
             s16 = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128)

@@ -46,6 +46,7 @@ class Session:
     timers: StageTimers = field(default_factory=StageTimers)
     checkpoint_path: Optional[Path] = None
     checkpoint_every_blocks: int = 0
+    checkpoint_meta: dict = field(default_factory=dict)  # stamped + checked
     dropped_blocks: dict = field(default_factory=dict)  # stage name -> count
     i_corr: int = 0                      # DC corrections for raw-mode
     q_corr: int = 0                      # device conversion
@@ -133,13 +134,14 @@ class Session:
     def save_checkpoint(self, stages: list["Stage"]):
         state = {s.name: s.state for s in stages if s.state is not None}
         if state and self.checkpoint_path:
-            save_state(self.checkpoint_path, state)
+            save_state(self.checkpoint_path, state, meta=self.checkpoint_meta)
             self.logger.log(f"checkpoint -> {self.checkpoint_path}")
 
     def load_checkpoint(self, stages: list["Stage"]):
         if self.checkpoint_path and Path(self.checkpoint_path).exists():
             like = {s.name: s.state for s in stages if s.state is not None}
-            loaded = load_state(self.checkpoint_path, like)
+            loaded = load_state(self.checkpoint_path, like,
+                                expect_meta=self.checkpoint_meta)
             for s in stages:
                 if s.state is not None and s.name in loaded:
                     s.state = loaded[s.name]
@@ -221,33 +223,88 @@ class TelemetryStage(Stage):
     defeats the async overlap of host convert with device compute.
     Frames arrive at worst N blocks late (they are ~4.33 s apart); a
     final ``finish()`` flush drains the tail.
+
+    ``mesh``: an optional ("dp", "sp") ``jax.sharding.Mesh`` — the
+    production integration point for the multi-chip path (the analog of
+    the reference shell wiring its N demod tabs into the running
+    system, jsdr.java:475-502). With a mesh, every block runs through
+    ``parallel.sharded.sharded_telemetry_step`` (dp shards the demod
+    instances, sp shards the time axis with halo exchange); results and
+    chained state are bit-identical to the single-device batched call.
+    The instance list is padded up to a multiple of dp (replicating the
+    last instance; padding is dropped from published results), and the
+    session's ``block_samples`` must come from
+    :meth:`block_samples_for` so each sp shard holds whole bit groups
+    (and whole 0.1 s FFT blocks when any instance uses dofft).
     """
 
     name = "telemetry"
 
     def __init__(self, cfg, tunings=None, dofft=None, track_high=None,
-                 sync_every: int = 4):
+                 sync_every: int = 4, mesh=None, max_hits: int = 4):
         from ..demod.bpsk import bpsk_init_batch
         self.cfg = cfg
         self.tunings = (None if tunings is None
                         else [float(t) for t in tunings])
         self.n = 1 if tunings is None else len(self.tunings)
+        self.n_real = self.n            # instances the user asked for
         self.dofft = None if dofft is None else [bool(v) for v in dofft]
         self.track_high = (None if track_high is None
                            else [bool(v) for v in track_high])
         self.sync_every = max(1, int(sync_every))
-        self.state = bpsk_init_batch(cfg, self.n)
+        self.mesh = mesh
         self._pending = []              # un-synced device block outputs
         self._n_blocks = 0
+        if mesh is None:
+            self.state = bpsk_init_batch(cfg, self.n)
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharded import sharded_telemetry_step
+        dp = mesh.shape["dp"]
+        pad = (-self.n) % dp
+        if pad:                          # dp wants S % dp == 0
+            self.tunings = ((self.tunings or [cfg.tuning])
+                            + [self.tunings[-1] if self.tunings
+                               else cfg.tuning] * pad)
+            if self.dofft is not None:
+                self.dofft = self.dofft + [self.dofft[-1]] * pad
+            if self.track_high is not None:
+                self.track_high = self.track_high + [self.track_high[-1]] * pad
+            self.n += pad
+        self._sharded = sharded_telemetry_step(mesh, rate=cfg.rate,
+                                               max_hits=max_hits)
+        self._iq_sharding = NamedSharding(mesh, P("dp", "sp"))
+        self.state = jax.device_put(bpsk_init_batch(cfg, self.n),
+                                    NamedSharding(mesh, P("dp")))
+
+    @staticmethod
+    def block_samples_for(cfg, mesh=None, dofft=None,
+                          target_seconds: float = 1.0) -> int:
+        """Session block size valid for this stage's execution path."""
+        if mesh is None:
+            return int(cfg.rate * target_seconds)
+        from ..parallel.sharded import valid_block_samples
+        any_dofft = bool(np.any(dofft)) if dofft is not None else False
+        return valid_block_samples(cfg.rate, mesh.shape["sp"], any_dofft,
+                                   target_seconds)
 
     def process(self, block, session: Session):
         from ..demod.bpsk import bpsk_block_batch
         from ..ops.cplx import CF
         blocks = CF(jnp_broadcast(block.re, self.n),
                     jnp_broadcast(block.im, self.n))
-        out, self.state = bpsk_block_batch(blocks, self.cfg, self.state,
-                                           self.tunings, dofft=self.dofft,
-                                           track_high=self.track_high)
+        if self.mesh is not None:
+            import jax
+            blocks = CF(jax.device_put(blocks.re, self._iq_sharding),
+                        jax.device_put(blocks.im, self._iq_sharding))
+            out, self.state = self._sharded(
+                blocks, self.state, self.tunings, dofft=self.dofft,
+                track_high=self.track_high)
+        else:
+            out, self.state = bpsk_block_batch(
+                blocks, self.cfg, self.state, self.tunings,
+                dofft=self.dofft, track_high=self.track_high)
         self._pending.append(out)
         self._n_blocks += 1
         if self._n_blocks % self.sync_every == 0:
@@ -268,12 +325,12 @@ class TelemetryStage(Stage):
         c = np.asarray(self.state.counters)
         session.pubsub.publish(
             "telemetry-counters",
-            {s: tuple(int(v) for v in c[s]) for s in range(self.n)})
-        for s in range(self.n):
+            {s: tuple(int(v) for v in c[s]) for s in range(self.n_real)})
+        for s in range(self.n_real):
             session.pubsub.publish(f"FUNcube{s}-bpsk-tune", tunings[s])
         for out in pending:
             hits = np.asarray(out.n_hits)
-            for s in range(self.n):
+            for s in range(self.n_real):
                 n_hits = int(hits[s])
                 if not n_hits:
                     continue

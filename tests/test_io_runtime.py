@@ -183,6 +183,84 @@ def test_state_checkpoint_roundtrip(tmp_path):
     assert int(st2.ring[0]) == 1
 
 
+def test_state_checkpoint_version_and_config_guards(tmp_path):
+    """A checkpoint written under one (n_streams, rate) configuration
+    must fail LOUDLY — not silently misload — under another, and
+    pre-versioning files are refused (the checkpoint analog of
+    jsdr.properties' version-discard, jsdr.java:242-254)."""
+    import pytest
+    import jax
+    from jsdr_tpu.demod.bpsk import BpskConfig, bpsk_init, bpsk_init_batch
+
+    cfg = BpskConfig()
+    f = tmp_path / "st.npz"
+    save_state(f, bpsk_init_batch(cfg, 4), meta={"rate": 96000})
+
+    # wrong n_streams -> leaf shape mismatch, named in the error
+    with pytest.raises(ValueError, match="current configuration"):
+        load_state(f, bpsk_init_batch(cfg, 2))
+    # wrong declared rate -> meta mismatch
+    with pytest.raises(ValueError, match="rate"):
+        load_state(f, bpsk_init_batch(cfg, 4),
+                   expect_meta={"rate": 192000})
+    # meta key the writer never recorded -> refused
+    with pytest.raises(ValueError, match="lacks"):
+        load_state(f, bpsk_init_batch(cfg, 4), expect_meta={"max_hits": 4})
+    # matching config loads fine
+    st = load_state(f, bpsk_init_batch(cfg, 4),
+                    expect_meta={"rate": 96000})
+    assert st.ring.shape == (4, 5199)
+
+    # a different stage layout -> leaf-count mismatch
+    with pytest.raises(ValueError, match="leaves"):
+        load_state(f, {"telemetry": bpsk_init(cfg),
+                       "demod": {"x": np.zeros(3)}})
+
+    # legacy (pre-round-5, unversioned) file -> refused with migration
+    # pointer: tu_phase changed units in round 4 (10x NCO numerators)
+    leaves, _ = jax.tree.flatten(bpsk_init(cfg))
+    legacy = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    g = tmp_path / "legacy.npz"
+    np.savez(g, n_leaves=len(leaves), **legacy)
+    with pytest.raises(ValueError, match="MIGRATION"):
+        load_state(g, bpsk_init(cfg))
+
+
+def test_wav_malformed_data_chunk(tmp_path):
+    """Truncated / ragged WAV data chunks get a clear diagnostic
+    (ADVICE r4: raw frombuffer used to throw an unhelpful ValueError),
+    and only the FIRST data chunk is read."""
+    import struct
+    import pytest
+    from jsdr_tpu.io.sources import read_wav
+
+    def wav(data: bytes, declared: int | None = None) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+        d_size = len(data) if declared is None else declared
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", d_size) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # declared size exceeds the file -> descriptive error, not a short read
+    p = tmp_path / "trunc.wav"
+    p.write_bytes(wav(b"\x01\x00\x02\x00", declared=400))
+    with pytest.raises(ValueError, match="truncated data chunk"):
+        read_wav(p)
+
+    # ragged tail byte is trimmed to a whole sample width
+    p2 = tmp_path / "ragged.wav"
+    p2.write_bytes(wav(b"\x01\x00\x02\x00\x7f"))
+    s16, ch, rate = read_wav(p2)
+    assert list(s16) == [1, 2] and ch == 2 and rate == 44100
+
+    # a (non-spec) second data chunk is ignored: first one wins
+    extra = b"data" + struct.pack("<I", 4) + b"\x09\x00\x0a\x00"
+    p3 = tmp_path / "twodata.wav"
+    p3.write_bytes(wav(b"\x03\x00\x04\x00") + extra)
+    s16, _, _ = read_wav(p3)
+    assert list(s16) == [3, 4]
+
+
 def test_fcd_degrades_without_binary():
     fcd = FCD(binary=None)
     assert not fcd.available()
