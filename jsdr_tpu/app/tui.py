@@ -640,9 +640,10 @@ class StageManager:
     name = "control-sync"
     state = None
 
-    def __init__(self, model: TuiModel, rate: int):
+    def __init__(self, model: TuiModel, rate: int, mesh=None):
         self.model = model
         self.rate = rate
+        self.mesh = mesh
         self.stages: list = [self]
         self._build_initial()
 
@@ -675,10 +676,25 @@ class StageManager:
             return None
         # per-instance dofft/upper run in ONE batched call (a mixed set
         # selects per stream; FUNcube<n>-bpsk-dofft/-upper)
+        mesh = self.mesh
+        if mesh is not None:
+            # the TUI keeps the reference's 0.1 s block cadence; check
+            # it against the sharded step's shape contract and degrade
+            # to the single-device batched call with a status note if
+            # the mesh geometry can't take 0.1 s blocks (e.g. dofft
+            # needs whole 0.1 s FFT blocks PER SHARD)
+            from ..parallel.sharded import _validate_sharded_shapes
+            try:
+                _validate_sharded_shapes(
+                    mesh.shape["dp"], self.rate // 10, mesh.shape["dp"],
+                    mesh.shape["sp"], self.rate, any(m.dofft))
+            except ValueError as e:
+                m.status = f"telemetry mesh off: {e}"[:160]
+                mesh = None
         return TelemetryStage(
             BpskConfig(rate=self.rate, tuning=m.tunings[0]),
             tunings=list(m.tunings), dofft=list(m.dofft),
-            track_high=list(m.track_high))
+            track_high=list(m.track_high), mesh=mesh)
 
     def _make_demod(self):
         from ..demod.am_fm import AmFmConfig
@@ -734,11 +750,13 @@ class PipelineThread(threading.Thread):
     opens the current source, drives the Session, applies control
     changes between blocks, and reopens on Ctrl-O/Ctrl-D."""
 
-    def __init__(self, model: TuiModel, rate: int, paced: bool = True):
+    def __init__(self, model: TuiModel, rate: int, paced: bool = True,
+                 mesh=None):
         super().__init__(daemon=True)
         self.model = model
         self.rate = rate
         self.paced = paced
+        self.mesh = mesh
         self.error: Optional[str] = None
 
     def _open(self, name: str):
@@ -806,7 +824,7 @@ class PipelineThread(threading.Thread):
                               block_samples=self.rate // 10,
                               pubsub=self.model.pubsub,
                               logger=_TuiLogger())
-            mgr = StageManager(self.model, self.rate)
+            mgr = StageManager(self.model, self.rate, mesh=self.mesh)
             self._session = session
             try:
                 session.run(mgr.stages)
@@ -833,7 +851,9 @@ def run_tui(args) -> int:
     if getattr(args, "source", None):
         controls.new_source = args.source
         controls.source_epoch += 1
-    pipe = PipelineThread(model, args.rate, paced=not args.no_pace)
+    from .main import _parse_mesh
+    pipe = PipelineThread(model, args.rate, paced=not args.no_pace,
+                          mesh=_parse_mesh(getattr(args, "mesh", None)))
     pipe.start()
 
     def loop(scr):

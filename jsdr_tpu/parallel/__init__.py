@@ -13,5 +13,6 @@ tests/test_multihost.py), and XLA collectives over ICI/DCN.
 from .mesh import init_multihost, make_mesh  # noqa: F401
 from .pipeline import (make_pp_mesh, pipeline_flush, pipeline_init,  # noqa: F401
                        pipelined_telemetry)  # noqa: F401
-from .sharded import sharded_telemetry_step, sharded_spectrum  # noqa: F401
+from .sharded import (sharded_telemetry_step, sharded_spectrum,  # noqa: F401
+                      valid_block_samples)  # noqa: F401
 from .tp import tp_fft, tp_spectrum  # noqa: F401

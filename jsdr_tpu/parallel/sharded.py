@@ -53,11 +53,18 @@ sharded step chains bit-exactly with the single-device
 ``bpsk_block_batch`` and with itself across segment boundaries
 (tests/test_parallel.py asserts equality of bits, frames and state at
 96 k and 192 k, plus a randomized property test). Two bounded fp
-caveats on the STATE (never the decisions): the EMA/e_out carries
-compose in a different (documented) order, and on CPU backends XLA's
-dot blocking depends on operand shape, so the per-shard conv tails can
-differ from the single-device ones by ulps (the TPU MXU's fixed
-128-tile blocking makes them identical).
+caveats on the carried STATE: the EMA/e_out carries compose in a
+different (documented) order, and on CPU backends XLA's dot blocking
+depends on operand shape, so the per-shard conv tails can differ from
+the single-device ones by ulps (the TPU MXU's fixed 128-tile blocking
+makes them identical). One decision-level exposure follows from the
+first caveat: the peak schedule takes argmax over the fp-reassociated
+EMA trajectory (traj0 + a^k*ema_in), so an exact tie-or-ulp near-tie
+between two lane energies could pick a different peak phase than the
+single-device composition and shift a bit-emission slot. The equality
+tests above (including the randomized property test) cover it
+empirically — no divergence observed — but it is not excluded by
+construction.
 
 ``compat_scan=True`` (the per-sample fp-order parity mode) keeps the
 round-3 replicated tail: the sequential scan cannot shard over time.
@@ -515,6 +522,58 @@ def _telemetry_local(iq_re, iq_im, states: B.BpskState, tunings, dofft,
     return jax.vmap(post)(ds, states, tu_phase, ds_tail, ft_state)
 
 
+def valid_block_samples(rate: int, n_sp: int, dofft: bool = False,
+                        target_seconds: float = 1.0) -> int:
+    """Smallest-step valid [S, T] time length near ``target_seconds``
+    for :func:`sharded_telemetry_step`: T must split into sp equal
+    shards of t_loc samples with t_loc a multiple of 8*decim (one
+    whole bit group per decimated 8-sample window) and at least two
+    bit groups per shard; dofft streams additionally need whole 0.1 s
+    FFT blocks per shard (t_loc % (rate//10) == 0,
+    FUNcubeBPSKDemod.java:406-464's per-block analysis)."""
+    m = rate // B.DOWN_SAMPLE_RATE
+    unit = (rate // 10) if dofft else 8 * m
+    t_loc_min = max(2 * 8 * m, unit)
+    t_loc = max(t_loc_min,
+                round(target_seconds * rate / (n_sp * unit)) * unit)
+    return n_sp * t_loc
+
+
+def _validate_sharded_shapes(s: int, t: int, dp: int, n_sp: int, rate: int,
+                             any_dofft: bool) -> None:
+    """Raise an actionable ValueError for off-contract [S, T] shapes
+    instead of dying in a trace-time assert (VERDICT r4 #6)."""
+    m = rate // B.DOWN_SAMPLE_RATE
+    msgs = []
+    if s % dp:
+        msgs.append(f"S={s} streams must be a multiple of dp={dp}")
+    if t % n_sp:
+        msgs.append(f"T={t} samples must split over sp={n_sp} shards")
+    else:
+        t_loc = t // n_sp
+        if t_loc % (8 * m):
+            msgs.append(
+                f"per-shard length T/sp={t_loc} must be a multiple of "
+                f"8*decim={8 * m} (whole decimated bit groups)")
+        elif t_loc < 16 * m:
+            msgs.append(
+                f"per-shard length T/sp={t_loc} must cover >= 2 bit "
+                f"groups (>= {16 * m} samples)")
+        if any_dofft and t_loc % (rate // 10):
+            msgs.append(
+                f"dofft streams need whole 0.1 s blocks per shard: "
+                f"T/sp={t_loc} must be a multiple of {rate // 10}")
+    if msgs:
+        raise ValueError(
+            "sharded_telemetry_step: invalid input shape — "
+            + "; ".join(msgs)
+            + f". Valid T are multiples of sp*8*decim={n_sp * 8 * m}"
+            + (f" and of sp*rate/10={n_sp * (rate // 10)} when any "
+               "stream uses dofft" if any_dofft else "")
+            + f" (e.g. T={valid_block_samples(rate, n_sp, any_dofft)}; "
+              "see parallel.sharded.valid_block_samples).")
+
+
 def sharded_telemetry_step(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
                            compat_scan: bool = False):
     """Build the jitted multi-chip telemetry step with chained state.
@@ -567,6 +626,8 @@ def sharded_telemetry_step(mesh: Mesh, rate: int = 96000, max_hits: int = 4,
         th_np = np.broadcast_to(
             np.asarray(False if track_high is None else track_high, bool),
             (s,)).copy()
+        _validate_sharded_shapes(s, iq.shape[-1], mesh.shape["dp"], n_sp,
+                                 rate, bool(dofft_np.any()))
         if dofft_np.all():
             front_mode = "dofft"
         elif dofft_np.any():

@@ -85,6 +85,103 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
         rows = shard.index[0]
         np.testing.assert_allclose(np.asarray(shard.data),
                                    np.asarray(local.psd)[rows], rtol=1e-5)
+
+    # 3) THE FLAGSHIP across the process boundary: the sp-sharded
+    # telemetry step with the sp axis CROSSING the two processes, so
+    # every decode-tail collective (decimator + matched-filter ring
+    # halos, EMA / last-valid / e_out all_gathers, the 2-scalar peak
+    # hop, and the sync-search hit merge — parallel/sharded.py) rides
+    # a REAL process boundary (the DCN analog). Bit-equality against
+    # the single-device chain, with a frame STRADDLING two chained
+    # step calls.
+    import time as _time
+
+    from jsdr_tpu.demod.bpsk import (BpskConfig, bpsk_block_batch,
+                                     bpsk_init_batch)
+    from jsdr_tpu.fec.decoder import fec_decode
+    from jsdr_tpu.io.sources import synth_bpsk_stream
+    from jsdr_tpu.parallel.sharded import sharded_telemetry_step
+
+    devs2 = np.array(jax.devices()).reshape(num_processes, 4).T
+    mesh2 = Mesh(devs2, ("dp", "sp"))      # [4, n_procs]: sp spans DCN
+    rate = 96000
+    seg = 230400                            # 2.4 s; the frame straddles
+    rng2 = np.random.default_rng(42)
+    arr = (0.1 * (rng2.standard_normal((4, 2 * seg))
+                  + 1j * rng2.standard_normal((4, 2 * seg)))
+           ).astype(np.complex64)
+    payload = np.arange(256, dtype=np.uint8)[None]
+    burst = synth_bpsk_stream(payload, rate=rate, preamble_bits=64)
+    arr[0, :min(len(burst), 2 * seg)] += burst[: 2 * seg]
+    cfg = BpskConfig(rate=rate)
+    step = sharded_telemetry_step(mesh2, rate=rate)
+    sh2 = NamedSharding(mesh2, P("dp", "sp"))
+
+    def gput(x):
+        return jax.make_array_from_callback(x.shape, sh2, lambda i: x[i])
+
+    states = bpsk_init_batch(cfg, 4)
+    st_ref = bpsk_init_batch(cfg, 4)
+    for b in range(2):
+        blk = arr[:, b * seg:(b + 1) * seg]
+        out, states = step(
+            CF(gput(np.ascontiguousarray(blk.real, np.float32)),
+               gput(np.ascontiguousarray(blk.imag, np.float32))), states)
+        ref, st_ref = bpsk_block_batch(blk, cfg, st_ref)
+        # out specs are P("dp") with an sp replica per process, so the
+        # global arrays are fully addressable on every process
+        for field in ("n_bits", "n_hits", "windows", "bits", "hit_corr"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out, field)),
+                np.asarray(getattr(ref, field)), err_msg=field)
+        if b == 0:
+            assert int(np.asarray(out.n_hits)[0]) == 0
+    assert int(np.asarray(out.n_hits)[0]) == 1, "straddling frame missed"
+    dec = fec_decode(out.windows[:1])
+    assert bool(np.asarray(dec.ok)[0, 0])
+    assert np.array_equal(np.asarray(dec.payload)[0, 0], payload[0])
+    for a, b_ in zip(jax.tree.leaves(states), jax.tree.leaves(st_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b_, np.float64),
+                                   rtol=2e-4, atol=1e-6)
+    print(f"proc {process_id}: flagship-over-DCN bit-equal, "
+          "straddling frame decoded", flush=True)
+
+    # 4) real-collectives sp-scaling sanity datapoint (the 94%-at-sp=4
+    # weak-scaling number in PERF.md is a single-chip SIMULATION; this
+    # is the same per-device work with the tail collectives crossing a
+    # real process boundary): sp=1 (pure dp) vs sp=2 (time axis split
+    # across the two processes), per-device front-end work held equal.
+    S = 4 * num_processes
+    noise = (0.1 * (rng2.standard_normal((S, 2 * seg))
+                    + 1j * rng2.standard_normal((S, 2 * seg)))
+             ).astype(np.complex64)
+    mesh_dp = Mesh(np.array(jax.devices()).reshape(S, 1), ("dp", "sp"))
+    trend = []
+    for label, m, s_n, t_n in (("sp=1", mesh_dp, S, seg),
+                               ("sp=2", mesh2, 4, 2 * seg)):
+        dat = noise[:s_n, :t_n]
+        shm = NamedSharding(m, P("dp", "sp"))
+        gp = lambda x: jax.make_array_from_callback(  # noqa: E731
+            x.shape, shm, lambda i: x[i])
+        stp = sharded_telemetry_step(m, rate=rate)
+        sts = bpsk_init_batch(cfg, s_n)
+        cfd = CF(gp(np.ascontiguousarray(dat.real, np.float32)),
+                 gp(np.ascontiguousarray(dat.imag, np.float32)))
+        o, sts = stp(cfd, sts)             # compile + warmup
+        jax.block_until_ready(o)
+        t0 = _time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            o, sts = stp(cfd, sts)
+        jax.block_until_ready(o)
+        dt = (_time.perf_counter() - t0) / reps
+        trend.append(dt)
+        print(f"proc {process_id}: sp-trend {label}: {dt * 1e3:.0f} "
+              f"ms/step ({s_n}x{t_n} samples, {s_n * t_n / 8} "
+              "per device)", flush=True)
+    print(f"proc {process_id}: sp-trend ratio sp2/sp1 = "
+          f"{trend[1] / trend[0]:.2f}", flush=True)
     print(f"proc {process_id}: OK", flush=True)
 
 

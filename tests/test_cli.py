@@ -28,6 +28,19 @@ def test_cli_synth_and_telemetry(fixture_file, capsys, tmp_path):
     assert "resumed stream state" in capsys.readouterr().out
 
 
+def test_cli_telemetry_mesh(fixture_file, capsys):
+    """The production shell reaches the multi-chip path (VERDICT r4 #1):
+    `telemetry --mesh 2x4` decodes the fixture end-to-end on the
+    8-virtual-device harness through the Session executor +
+    sharded_telemetry_step (instances over dp, time over sp)."""
+    main(["--cpu", "--rate", "96000", "telemetry", f"file:{fixture_file}",
+          "--mesh", "2x4", "--blocks", "10", "--loop"])
+    out = capsys.readouterr().out
+    assert "mesh dp=2 x sp=4" in out
+    assert "frames=2" in out
+    assert "channel_errors=0" in out
+
+
 def test_cli_spectrum_reference_fixture(capsys, tmp_path):
     png = str(tmp_path / "wf.png")
     main(["--cpu", "--rate", "44100", "--seconds", "2", "spectrum",

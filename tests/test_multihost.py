@@ -34,7 +34,7 @@ def test_two_process_mesh_collectives_and_spectrum():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -44,3 +44,10 @@ def test_two_process_mesh_collectives_and_spectrum():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid}: OK" in out
+        # the flagship ran across the process boundary and the
+        # real-collectives sp-scaling datapoint was recorded
+        assert f"proc {pid}: flagship-over-DCN bit-equal" in out
+        assert "sp-trend ratio" in out
+    for line in outs[0].splitlines():
+        if "sp-trend" in line or "flagship" in line:
+            print(line)

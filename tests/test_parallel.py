@@ -269,6 +269,42 @@ def test_sharded_randomized_property_matches_single_device():
                                        rtol=2e-4, atol=1e-6)
 
 
+def test_sharded_shape_validation():
+    """Off-contract [S, T] shapes fail with an actionable ValueError at
+    the sharded_telemetry_step API boundary — not a trace-time assert
+    (VERDICT r4 #6) — and valid_block_samples produces passing shapes."""
+    from jsdr_tpu.parallel.sharded import valid_block_samples
+
+    mesh = make_mesh(dp=2, sp=4)
+    cfg = BpskConfig(rate=96000)
+    step = sharded_telemetry_step(mesh, rate=96000)
+    sts = bpsk_init_batch(cfg, 4)
+    with pytest.raises(ValueError, match="multiple of dp"):
+        step(np.zeros((3, 96000), np.complex64), bpsk_init_batch(cfg, 3))
+    with pytest.raises(ValueError, match="split over sp"):
+        step(np.zeros((4, 96002), np.complex64), sts)
+    with pytest.raises(ValueError, match="whole decimated bit groups"):
+        step(np.zeros((4, 96032), np.complex64), sts)
+    with pytest.raises(ValueError, match=">= 2 bit groups"):
+        step(np.zeros((4, 4 * 80), np.complex64), sts)
+    with pytest.raises(ValueError, match="whole 0.1 s blocks"):
+        step(np.zeros((4, 4 * 2400), np.complex64), sts,
+             dofft=[True] * 4)
+    # every error names a valid example shape
+    try:
+        step(np.zeros((4, 96032), np.complex64), sts)
+    except ValueError as e:
+        assert "e.g. T=96000" in str(e)
+    assert valid_block_samples(96000, 4) == 96000
+    assert valid_block_samples(96000, 4, dofft=True) == 4 * 19200
+    assert valid_block_samples(192000, 4) == 192000
+    # and the suggested dofft shape actually runs
+    out, _ = jax.block_until_ready(
+        step(np.zeros((4, valid_block_samples(96000, 4, dofft=True)),
+                      np.complex64), sts, dofft=[True] * 4))
+    assert int(np.asarray(out.n_hits).sum()) == 0
+
+
 def test_place_segments_matches_concatenation():
     """The sort-free global-bit-stream assembly (_place_segments) must
     equal concatenating each rank's valid prefix, for random counts
