@@ -66,7 +66,7 @@ def _decode_one(raw: jnp.ndarray) -> FecResult:
     ok = jnp.all(nerr >= 0)
     payload = jnp.swapaxes(corrected[:, RSPAD:KK], -1, -2).reshape(-1)
     payload = jnp.where(ok, payload, 0).astype(jnp.uint8)
-    reenc = jenc.encode_frame(payload)
+    reenc = jenc.encode_frame_affine(payload)
     errors = jnp.sum((reenc != (raw >> 7)).astype(jnp.int32))
     rc = jnp.where(ok, errors, -1)
     return FecResult(payload, ok, nerr, rc)

@@ -3,9 +3,17 @@
 Re-design of the scalar decoder at FECDecoder.java:325-519 into fixed-shape,
 branchless array code so it jits and vmaps over codewords and frames:
 
-- syndromes as a GF(256) "matmul" (log-add-antilog gather + XOR reduction)
+- syndromes and the Chien sweep as MXU **bit-matmuls**: multiplying a
+  GF(256) element by a CONSTANT is linear over GF(2), so evaluating the
+  received word (or the error locator) at fixed field points is one 0/1
+  matrix product — [.., 2040 data bits] @ [2040, 256 syndrome bits] and
+  [.., 264 lambda bits] @ [264, 2040 eval bits] — exact in a single
+  bf16 MXU pass (0/1 operands, f32 accumulation) and reduced mod 2.
+  Round 5 measured the replaced log-add-antilog gathers at 4.2M/4.3M
+  gathered elements per frame: the to-RS stage fell 119.8 -> 50.9 ms at
+  batch 256 on v5e (bench/exp_r9_fec2.py), bit-exact.
 - Berlekamp-Massey as a 32-step ``fori_loop`` with masked updates
-- Chien search fully vectorized over the 255 field points
+  (data-dependent in both operands — not constant-linear, stays gathers)
 - Forney evaluation vectorized over the (up to 32) roots
 
 GF(256) elements are carried as int32; A0 (=255) marks log(0).
@@ -47,12 +55,53 @@ def _gfmul_log(log_a: jnp.ndarray, log_b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(zero, 0, _alpha((log_a + log_b) % 255))
 
 
+# --- GF(2) bit-matmul machinery (see module docstring) ---------------------
+
+def _gf_constmul_bits(consts: np.ndarray) -> np.ndarray:
+    """Bit matrix of y_i = XOR_j gfmul(x_j, consts[j, i]).
+
+    consts: [J, I] nonzero GF elements. Returns [8J, 8I] uint8 whose
+    (j, i) 8x8 block is the GF(2) matrix of multiplication by
+    consts[j, i] (bits LSB-first)."""
+    blog = np.asarray(INDEX_OF)[1 << np.arange(8)]         # [8]
+    prod = _ALPHA_NP[(blog[:, None, None]
+                      + np.asarray(INDEX_OF)[consts][None]) % 255]
+    bits = (prod[..., None] >> np.arange(8)) & 1           # [8, J, I, 8]
+    J, I = consts.shape
+    return bits.transpose(1, 0, 2, 3).reshape(8 * J, 8 * I).astype(np.uint8)
+
+
+_M_SYND = _gf_constmul_bits(_ALPHA_NP[_SYND_POW.T])        # [2040, 256]
+_M_CHIEN = _gf_constmul_bits(_ALPHA_NP[
+    (np.arange(1, NN + 1)[:, None]
+     * np.arange(NROOTS + 1)[None, :]).T % 255])           # [264, 2040]
+
+
+def _bytes_to_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., N] bytes -> [..., 8N] f32 bits, LSB-first per byte."""
+    b = (x[..., None].astype(jnp.int32) >> jnp.arange(8)) & 1
+    return b.reshape(*x.shape[:-1], -1).astype(jnp.float32)
+
+
+def _bits_to_bytes(bits: jnp.ndarray) -> jnp.ndarray:
+    """[..., 8N] int bits -> [..., N] int32 bytes (LSB-first)."""
+    b = bits.reshape(*bits.shape[:-1], -1, 8).astype(jnp.int32)
+    return (b << jnp.arange(8)).sum(-1)
+
+
+def _bitmat(x_bits: jnp.ndarray, m_np: np.ndarray) -> jnp.ndarray:
+    """0/1 matmul reduced mod 2 — one bf16 MXU pass, exact (0/1 operands
+    multiply exactly in bf16; accumulation is f32)."""
+    r = lax.dot_general(
+        x_bits.astype(jnp.bfloat16), jnp.asarray(m_np, jnp.bfloat16),
+        (((x_bits.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return r.astype(jnp.int32) & 1
+
+
 def syndromes(data: jnp.ndarray) -> jnp.ndarray:
     """[..., 255] codeword bytes -> [..., 32] syndromes (poly form)."""
-    d = data.astype(jnp.int32)
-    log_d = _index(d)                                   # [..., 255]
-    prod = _gfmul_log(log_d[..., None, :], _SYND_POW)   # [..., 32, 255]
-    return lax.reduce(prod, jnp.int32(0), lax.bitwise_xor, (prod.ndim - 1,))
+    return _bits_to_bytes(_bitmat(_bytes_to_bits(data), _M_SYND))
 
 
 def _berlekamp_massey(s_log: jnp.ndarray) -> jnp.ndarray:
@@ -99,10 +148,9 @@ def _chien_forney(lam: jnp.ndarray, s_log: jnp.ndarray):
     present = lam_log != A0
     deg_lambda = jnp.max(jnp.where(present, j_idx, 0))
 
-    # Chien: evaluate lambda at alpha^i for i = 1..255 (field point sweep)
-    i_idx = jnp.arange(1, NN + 1)[:, None]            # [255, 1]
-    ev = _gfmul_log(lam_log[None, :], (i_idx * j_idx[None, :]) % 255)
-    q = lax.reduce(ev, jnp.int32(0), lax.bitwise_xor, (1,))  # [255]
+    # Chien: evaluate lambda at alpha^i for i = 1..255 — the points are
+    # constants, so the sweep is one GF(2) bit-matmul (module docstring)
+    q = _bits_to_bytes(_bitmat(_bytes_to_bits(lam), _M_CHIEN))   # [255]
     is_root = q == 0
     count = jnp.sum(is_root.astype(jnp.int32))
     # Java aborts the sweep once deg_lambda roots are found; a degree-d poly

@@ -26,6 +26,18 @@ def test_jax_encoder_matches_numpy(rng):
     assert np.array_equal(got, want)
 
 
+def test_affine_encoder_matches_scan_encoder(rng):
+    """The one-bit-matmul encoder (re-encode verify fast path,
+    encode.py:_encoder_affine_np) must equal the scan/scatter encoder
+    bit-for-bit — including the all-zeros and all-ones edge payloads."""
+    payloads = np.concatenate([
+        rng.integers(0, 256, (3, 256), dtype=np.uint8),
+        np.zeros((1, 256), np.uint8), np.full((1, 256), 255, np.uint8)])
+    got = np.asarray(jenc.encode_frame_affine(jnp.asarray(payloads)))
+    want = np.asarray(jenc.encode_fec40(jnp.asarray(payloads)))
+    assert np.array_equal(got, want)
+
+
 def test_jax_viterbi_matches_numpy(rng):
     payloads, softs = _frames(rng, 2)
     syms = np.stack([ref.deinterleave(s) for s in softs])
