@@ -306,6 +306,28 @@ def test_pipeline_thread_end_to_end(tmp_path):
     assert not pipe.is_alive()
 
 
+def test_stage_manager_mesh(tmp_path):
+    """ui --mesh: the StageManager builds the telemetry stage on the
+    device mesh, and degrades (with a status note) when the TUI's 0.1 s
+    block cadence cannot satisfy the mesh's shard-shape contract (dofft
+    needs whole 0.1 s blocks PER SHARD)."""
+    from jsdr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=2, sp=4)
+    model, _, pubsub, _ = make_model(tmp_path, rate=96000, n_funcube=1)
+    mgr = StageManager(model, 96000, mesh=mesh)
+    assert mgr.telem is not None and mgr.telem.mesh is mesh
+    mgr.close()
+
+    model2, _, _, _ = make_model(tmp_path, rate=96000, n_funcube=1)
+    model2.handle_key("5")            # FUNcube tab
+    model2.handle_key("x")            # dofft on
+    mgr2 = StageManager(model2, 96000, mesh=mesh)
+    assert mgr2.telem is not None and mgr2.telem.mesh is None
+    assert "mesh off" in model2.status
+    mgr2.close()
+
+
 def test_stage_manager_swaps(tmp_path):
     model, _, pubsub, _ = make_model(tmp_path, rate=9600, n_funcube=1)
     mgr = StageManager(model, 9600)
