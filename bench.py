@@ -57,6 +57,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def force_value(x) -> float:
+    """Timing barrier that provably includes device execution: a scalar
+    d2h read. Round 5 caught this environment's tunneled backend
+    returning from ``jax.block_until_ready`` BEFORE execution completed
+    (a 137-GFLOP matmul "finished" in 0.1 ms through that barrier while
+    a value read measured ~27 ms) — silently inflating any
+    block_until_ready-based timing. A value transfer cannot complete
+    before the producing computation; it costs one tunnel round-trip,
+    amortized over each timing loop's iterations."""
+    return float(np.asarray(x).reshape(-1)[0])
+
+
 def bench_fec(log):
     """Timed batched AO-40 fec_decode (deinterleave -> Viterbi -> RS x2 ->
     re-encode + error count), the decode tail that runs per detected
@@ -82,21 +94,25 @@ def bench_fec(log):
         t_compile = time.time() - t0
         iters = 10
 
-        # perturb one soft symbol per iteration so no two dispatches are
-        # identical (repeat-elision hazard, see bench_demod): flipping a
-        # confidence bit adds one correctable channel error at most
+        # CHAIN the iterations: each step's input perturbation depends on
+        # the previous step's result, so the final d2h barrier provably
+        # forces every iteration (a lazy/eliding backend cannot skip any
+        # — see force_value and the bench_demod elision note), and no
+        # two dispatches are identical (the carry strictly grows).
         @jax.jit
-        def step(x, i):
+        def step(x, c):
             x = x.at[0, 0].set(
-                ((x[0, 0].astype(jnp.int32) + i) % 256).astype(jnp.uint8))
+                ((x[0, 0].astype(jnp.int32) + c) % 256).astype(jnp.uint8))
             r = fec_decode(x)
-            return r.ok.sum(), r.rc.sum()
+            return r.ok.sum(), r.rc.sum() + c
 
         jax.block_until_ready(step(x, jnp.int32(0)))
+        c = jnp.int32(1)
         t0 = time.time()
-        for i in range(iters):
-            res = step(x, jnp.int32(i + 1))
-        jax.block_until_ready(res)
+        for _ in range(iters):
+            res = step(x, c)
+            c = res[1]
+        force_value(c)                  # d2h barrier forces the chain
         dt = (time.time() - t0) / iters
         log(f"fec_decode batch={batch}: {dt*1000:.1f} ms -> "
             f"{batch/dt:.0f} frames/s ({ok}/{batch} ok, 120 chan errs each; "
@@ -134,13 +150,14 @@ def bench_ingest(log):
     t0 = time.time()
     for _ in range(iters):
         out = s16_to_cf(jax.device_put(s16), ic, qc)
-    jax.block_until_ready(out)
+        force_value(out.re[-1])         # per-iter d2h barrier: the
+        # iterations are independent uploads, so each must be forced
     dt_dev = (time.time() - t0) / iters
     t0 = time.time()
     for _ in range(iters):
         host = s16le_to_complex(s16, 2, 3, -5)
         out = jax.device_put(from_complex(host))
-    jax.block_until_ready(out)
+        force_value(out.re[-1])
     dt_host = (time.time() - t0) / iters
     mb = s16.nbytes / 1e6
     log(f"ingest {n/1e6:.1f}M samples ({mb:.0f} MB raw): "
@@ -209,7 +226,7 @@ def bench_192k(log):
     for _ in range(iters):
         out = step(iq, st)
         st = out[2]
-    jax.block_until_ready(out)
+    force_value(out[0])                 # d2h barrier (see force_value)
     dt = (time.time() - t0) / iters
     msps = n_streams * t_len / dt / 1e6
     log(f"192 kS/s (FCD V2, decim=20) chain: {msps:.0f} MS/s/chip "
@@ -241,7 +258,7 @@ def bench_192k(log):
     t0 = time.time()
     for _ in range(m):
         acc, _, stc = chained(iq.re, iq.im, stc)
-    jax.block_until_ready(stc)
+    force_value(acc)                    # d2h barrier (see force_value)
     dt_c = (time.time() - t0) / (m * k_chain)
     msps_c = n_streams * t_len / dt_c / 1e6
     hits_c = int(np.asarray(stc.counters)[:, 3].sum())
@@ -314,7 +331,7 @@ def bench_dofft(log):
         for _ in range(iters):
             out = step(iq, st)
             st = out[1]
-        jax.block_until_ready(out)
+        force_value(out[0])             # d2h barrier (see force_value)
         return (time.time() - t0) / iters
 
     dt_d = timed(cfg_d)
@@ -424,7 +441,7 @@ def bench_demod(log):
     for i in range(iters):
         out = step(iq.re, iq.im, st, jnp.int32(i + 1))
         st = out[1]
-    jax.block_until_ready(out)
+    force_value(out[0])                 # d2h barrier (see force_value)
     dt = (time.time() - t0) / iters
     msps = n_streams * t_len / dt / 1e6
     log(f"WFM demod (FIR+downshift+discriminator+AGC): {msps:.0f} MS/s/chip "
@@ -497,7 +514,7 @@ def main():
     for _ in range(iters):
         out = step(iq, st)
         st = out[3]
-    jax.block_until_ready(out)
+    force_value(out[0])                 # d2h barrier (see force_value)
     total = time.time() - t0
     per_step = total / iters
     samples = n_streams * t_len
@@ -544,7 +561,7 @@ def main():
         t0 = time.time()
         for _ in range(m):
             acc, _, stc = chained(iq.re, iq.im, stc)
-        jax.block_until_ready(stc)
+        force_value(acc)                # d2h barrier (see force_value)
         dt_chain = (time.time() - t0) / (m * k_chain)
         msps_chain = samples / dt_chain / 1e6
         hits_chain = int(np.asarray(stc.counters)[:, 3].sum())

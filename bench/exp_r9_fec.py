@@ -59,7 +59,9 @@ def timeit(label, fn, x, extra=""):
     t0 = time.perf_counter()
     for i in range(ITERS):
         r = step(x, jnp.int32(i + 1))
-    jax.block_until_ready(r)
+    # d2h value barrier: block_until_ready alone was caught returning
+    # early on this backend (see bench.py force_value)
+    np.asarray(jax.tree.leaves(r)[0])
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{label:44s} {dt * 1e3:8.2f} ms  ({BATCH / dt:7.0f} frames/s)"
           f"  [compile {t_c:.1f}s] {extra}", flush=True)

@@ -44,7 +44,9 @@ def timeit(label, fn, *args):
     t0 = time.perf_counter()
     for _ in range(ITERS):
         r = jfn(*args)
-    jax.block_until_ready(r)
+    # d2h value barrier: block_until_ready alone was caught returning
+    # early on this backend (see bench.py force_value)
+    np.asarray(jax.tree.leaves(r)[0])
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{label:44s} {dt * 1e3:8.2f} ms  [compile {t_c:.1f}s]",
           flush=True)

@@ -32,6 +32,33 @@ _METTAB = np.asarray(METTAB, dtype=np.int32)        # [2, 256]
 _INIT_METRIC = -999999
 
 
+# The 256-entry METTAB lookup as a [16] x [16] bilinear form on the
+# symbol's nibbles (s = 16*hi + lo): a table gather of [.., 5132]
+# elements lowers to a slow dynamic-gather on TPU (measured 22.8 ms of
+# the batch-256 decode), while one-hot(hi) @ TABLE + a 16-lane masked
+# reduce runs on the MXU/VPU in 3.1 ms — bit-exact (bench/exp_r9_fec3).
+# The dots use HIGHEST precision: 28 of the 512 METTAB values (e.g.
+# -341) are NOT bf16-representable, so a default single-bf16-pass dot
+# would silently corrupt metrics for symbols that hit those entries.
+_M0_SQ = _METTAB[0].reshape(16, 16).astype(np.float32)    # [hi, lo]
+_M1_SQ = _METTAB[1].reshape(16, 16).astype(np.float32)
+
+
+def _mettab_lookup(s: jnp.ndarray):
+    """[..., K] int32 symbols -> (m0, m1) int32 metric values."""
+    oh_hi = (
+        (s >> 4)[..., None] == jnp.arange(16)).astype(jnp.float32)
+    p = jax.lax.Precision.HIGHEST
+    row0 = jnp.dot(oh_hi, jnp.asarray(_M0_SQ), precision=p,
+                   preferred_element_type=jnp.float32)
+    row1 = jnp.dot(oh_hi, jnp.asarray(_M1_SQ), precision=p,
+                   preferred_element_type=jnp.float32)
+    oh_lo = (s & 15)[..., None] == jnp.arange(16)
+    m0 = jnp.sum(jnp.where(oh_lo, row0, 0.0), axis=-1).astype(jnp.int32)
+    m1 = jnp.sum(jnp.where(oh_lo, row1, 0.0), axis=-1).astype(jnp.int32)
+    return m0, m1
+
+
 def branch_metrics(symbols: jnp.ndarray) -> jnp.ndarray:
     """Per-step branch metrics for the 4 symbol-pair hypotheses.
 
@@ -40,12 +67,9 @@ def branch_metrics(symbols: jnp.ndarray) -> jnp.ndarray:
     metric of hypothesis pair i = (bitA<<1 | bitB) (FECDecoder.java:219-225).
     """
     s = symbols.astype(jnp.int32).reshape(-1, 2)
-    m0 = jnp.asarray(_METTAB[0])
-    m1 = jnp.asarray(_METTAB[1])
-    a0 = m0[s[:, 0]]
-    a1 = m1[s[:, 0]]
-    b0 = m0[s[:, 1]]
-    b1 = m1[s[:, 1]]
+    m0, m1 = _mettab_lookup(s)
+    a0, b0 = m0[:, 0], m0[:, 1]
+    a1, b1 = m1[:, 0], m1[:, 1]
     return jnp.stack([a0 + b0, a0 + b1, a1 + b0, a1 + b1], axis=-1)
 
 

@@ -49,6 +49,22 @@ def test_jax_viterbi_matches_numpy(rng):
     assert np.array_equal(got, want)
 
 
+def test_branch_metrics_exhaustive_all_symbols():
+    """The MXU nibble-bilinear METTAB lookup (viterbi._mettab_lookup)
+    must be exact for ALL 256 soft-symbol values: 28 of the 512 table
+    entries are not bf16-representable, so a default-precision dot
+    would corrupt exactly the entries a small fixture never hits."""
+    s = np.arange(256, dtype=np.uint8)
+    pairs = np.stack([np.repeat(s, 256), np.tile(s, 256)],
+                     axis=-1).reshape(-1)                  # all (a, b)
+    got = np.asarray(jvit.branch_metrics(jnp.asarray(pairs)))
+    m = np.asarray(jvit._METTAB, np.int64)
+    a, b = pairs.reshape(-1, 2)[:, 0], pairs.reshape(-1, 2)[:, 1]
+    want = np.stack([m[0][a] + m[0][b], m[0][a] + m[1][b],
+                     m[1][a] + m[0][b], m[1][a] + m[1][b]], axis=-1)
+    assert np.array_equal(got, want)
+
+
 def test_jax_rs_matches_numpy(rng):
     payload = rng.integers(0, 256, 256, dtype=np.uint8)
     cw = ref.descramble_demux(ref.viterbi27(
