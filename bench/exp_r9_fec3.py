@@ -40,18 +40,29 @@ ITERS = 10
 
 
 def timeit(label, fn, x):
-    step = jax.jit(lambda v, i: fn(
-        v.at[0, 0].set(((v[0, 0].astype(jnp.int32) + i) % 256
-                        ).astype(jnp.uint8))))
+    """CHAINED timing loop ending in a d2h read: iteration k's input
+    perturbation depends on iteration k-1's full result, so the final
+    value read provably forces every iteration — this backend was
+    caught both eliding repeats and returning early from
+    block_until_ready (see bench.py force_value)."""
+
+    @jax.jit
+    def step(v, c):
+        v = v.at[0, 0].set(((v[0, 0].astype(jnp.int32) + c) % 256
+                            ).astype(jnp.uint8))
+        r = fn(v)
+        s = sum(jnp.asarray(leaf).astype(jnp.float32).sum()
+                for leaf in jax.tree.leaves(r))
+        return (s.astype(jnp.int32) & 0xFF) + c + 1
+
     t0 = time.perf_counter()
     jax.block_until_ready(step(x, jnp.int32(0)))
     t_c = time.perf_counter() - t0
+    c = jnp.int32(1)
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        r = step(x, jnp.int32(i + 1))
-    # d2h value barrier: block_until_ready alone was caught returning
-    # early on this backend (see bench.py force_value)
-    np.asarray(jax.tree.leaves(r)[0])
+    for _ in range(ITERS):
+        c = step(x, c)
+    np.asarray(c)                       # d2h barrier forces the chain
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{label:46s} {dt * 1e3:8.2f} ms  ({BATCH / dt:7.0f} frames/s)"
           f"  [compile {t_c:.1f}s]", flush=True)

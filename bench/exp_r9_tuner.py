@@ -37,16 +37,23 @@ ITERS = 10
 
 
 def timeit(label, fn, *args):
-    jfn = jax.jit(fn)
+    """CHAINED loop + d2h barrier (lazy/eliding-backend-proof, see
+    bench.py force_value): fn must return a scalar; iteration k
+    perturbs args[0] by a value derived from iteration k-1."""
+
+    @jax.jit
+    def step(c, *a):
+        a0 = a[0].at[(0,) * a[0].ndim].add(jnp.sin(c) * 1e-6)
+        return fn(a0, *a[1:]).astype(jnp.float32) * 1e-9 + c + 1.0
+
     t0 = time.perf_counter()
-    jax.block_until_ready(jfn(*args))
+    jax.block_until_ready(step(jnp.float32(0), *args))
     t_c = time.perf_counter() - t0
+    c = jnp.float32(1)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        r = jfn(*args)
-    # d2h value barrier: block_until_ready alone was caught returning
-    # early on this backend (see bench.py force_value)
-    np.asarray(jax.tree.leaves(r)[0])
+        c = step(c, *args)
+    np.asarray(c)                       # d2h barrier forces the chain
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{label:44s} {dt * 1e3:8.2f} ms  [compile {t_c:.1f}s]",
           flush=True)
@@ -119,12 +126,12 @@ def main():
         blocks.re, blocks.im, th)
     end1 = end[:, 0]
 
-    def rec(st, ave, bin_pos, max_bin, end1):
-        st2, centres = jax.vmap(FT.tuner_recurrence)(st, ave, bin_pos,
+    def rec(ave_, st, bin_pos, max_bin, end1):
+        st2, centres = jax.vmap(FT.tuner_recurrence)(st, ave_, bin_pos,
                                                      max_bin, end1)
         return centres.sum() + st2.centre_bin.sum()
 
-    timeit("recurrence (48-step scan x S)", rec, st0, ave, bin_pos,
+    timeit("recurrence (48-step scan x S)", rec, ave, st0, bin_pos,
            max_bin, end1)
 
     _, centres = jax.jit(jax.vmap(FT.tuner_recurrence))(
