@@ -359,7 +359,12 @@ class SpectrumTelemetryStage(TelemetryStage):
     name = "spectrum-telemetry"
 
     def __init__(self, cfg, tunings=None, window: bool = True,
-                 sync_every: int = 4):
+                 sync_every: int = 4, mesh=None):
+        if mesh is not None:
+            raise ValueError(
+                "SpectrumTelemetryStage runs the single-device merged "
+                "kernel; for a device mesh use TelemetryStage(mesh=...) "
+                "plus a SpectrumStage (the staged pair)")
         super().__init__(cfg, tunings, sync_every=sync_every)
         self.window = window
 

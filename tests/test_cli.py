@@ -41,6 +41,17 @@ def test_cli_telemetry_mesh(fixture_file, capsys):
     assert "channel_errors=0" in out
 
 
+def test_cli_telemetry_mesh_dofft(fixture_file, capsys):
+    """Meshed session with the FFT auto-tune front end: --fft-tune
+    forces dofft-valid shard blocks (whole 0.1 s blocks per shard via
+    block_samples_for) and still decodes end-to-end."""
+    main(["--cpu", "--rate", "96000", "telemetry", f"file:{fixture_file}",
+          "--mesh", "2x4", "--fft-tune", "--blocks", "14", "--loop"])
+    out = capsys.readouterr().out
+    assert "block=76800 samples" in out
+    assert "frames=2" in out
+
+
 def test_cli_spectrum_reference_fixture(capsys, tmp_path):
     png = str(tmp_path / "wf.png")
     main(["--cpu", "--rate", "44100", "--seconds", "2", "spectrum",
