@@ -105,11 +105,21 @@ def _traceback(decisions: jnp.ndarray) -> jnp.ndarray:
     """Chain back from state 0 (FECDecoder.java:264-277).
 
     decisions: [NBITS, 64] bool. Returns decoded bits [NBITS - K_FLUSH].
+
+    The per-step 1-of-64 ``dec_t[state]`` read is a 64-lane one-hot
+    select + reduce rather than a dynamic gather: even this tiny gather
+    is slow inside a TPU scan (round 5 measured the whole
+    metrics+ACS+traceback stage at 14.6 ms with the gather vs 9.0 ms
+    with the select at batch 256, bench/exp_r9_fec3.py) — bit-exact,
+    exactly one lane matches.
     """
+    lanes = jnp.arange(_N_STATES, dtype=jnp.int32)
 
     def step(state, dec_t):
-        dec = dec_t[state]
-        new_state = (state >> 1) | jnp.where(dec, jnp.int32(0x20), jnp.int32(0))
+        dec = jnp.sum(jnp.where(lanes == state, dec_t, False)
+                      .astype(jnp.int32)) > 0
+        new_state = (state >> 1) | jnp.where(dec, jnp.int32(0x20),
+                                             jnp.int32(0))
         return new_state, dec.astype(jnp.uint8)
 
     _, bits_rev = lax.scan(step, jnp.int32(0), decisions[K_FLUSH:], reverse=True)
