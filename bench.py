@@ -340,8 +340,8 @@ def bench_dofft(log):
     log(f"dofft (staged two-read fallback): {dt_d*1000:.2f} ms/step -> "
         f"{msps_d:.0f} MS/s/chip at {n_streams}x4.8s vs manual merged "
         f"{dt_m*1000:.2f} ms/step ({dt_d/dt_m:.2f}x — the auto-tuner's "
-        f"per-0.1s FFT/slice/iFFT + EMA recurrence plus the extra HBM "
-        f"input read)")
+        f"per-0.1s forward FFT + gather-free slice/iDFT-matmul emit + "
+        f"EMA recurrence plus the extra HBM input read)")
 
 
 def bench_live_soak(log):

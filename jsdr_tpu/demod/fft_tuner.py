@@ -26,7 +26,7 @@ planar MXU matmul FFT (no complex HLO).
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -35,7 +35,7 @@ import numpy as np
 from jax import lax
 
 from ..ops.cplx import CF, as_cf
-from ..ops.mxu_fft import fft_cf, ifft_cf
+from ..ops.mxu_fft import fft_cf
 
 # FUNcubeBPSKDemod.java:399-402
 PSD_AVG = 2.0 / (10 + 1)
@@ -118,25 +118,66 @@ def tuner_recurrence(state: FftTunerState, ave, bin_pos, max_bin, end
     return lax.scan(step, state, (ave, bin_pos, max_bin))
 
 
+@functools.lru_cache(maxsize=8)
+def _idft_slice_mats(samples: int):
+    """Constant [204, samples] iDFT of a spectrum that is zero outside
+    bins 0..203 — the whole zero-pad + inverse FFT of the shipped emit
+    collapses to one matmul of the slice values (host-exact f64 build)."""
+    k = np.arange(2 * SLICE_HALF)[:, None]
+    t = np.arange(samples)[None, :]
+    ang = 2.0 * np.pi * (k * t % samples) / samples
+    return (np.cos(ang).astype(np.float32) / samples,
+            np.sin(ang).astype(np.float32) / samples)
+
+
 def tuner_emit(spec: CF, centres: jnp.ndarray) -> CF:
-    """Slice [centre-102, centre+102) -> inverse FFT -> real-only feed
-    (parallel over blocks). spec [n_blocks, samples] CF, centres
+    """Slice [centre-102, centre+102) -> inverse transform -> real-only
+    feed (parallel over blocks). spec [n_blocks, samples] CF, centres
     [n_blocks] i32. Returns the CF feed [n_blocks, samples] with
-    I = Q = re (the Q-drop quirk, :461-463)."""
+    I = Q = re (the Q-drop quirk, :461-463).
+
+    Round-5 form, gather-free end to end (TPU gathers dominated the
+    original): the 204-bin slice is extracted with an EXACT one-hot row
+    matmul (HIGHEST-precision f32 dot — unlike demod.bpsk._extract_rows
+    the buffer holds arbitrary floats, so bf16 would round them) plus a
+    7-step fine roll, and the zero-pad + inverse FFT collapses to ONE
+    constant [204, samples] iDFT matmul of the slice (the padded
+    spectrum is zero outside bins 0..203). Numerically equivalent to
+    the per-block iFFT within ~2.5e-7 relative (bench/exp_r9_tuner.py);
+    the vmapped-dynamic-slice + per-block-iFFT form measured 31.6 ms at
+    [128 x 48] blocks on v5e vs ~10 ms for this form."""
     samples = spec.shape[-1]
-
-    def emit1(spec1, centre):
-        start = jnp.clip(centre - SLICE_HALF, 0, samples - 2 * SLICE_HALF)
-        sl = CF(lax.dynamic_slice(spec1.re, (start,), (2 * SLICE_HALF,)),
-                lax.dynamic_slice(spec1.im, (start,), (2 * SLICE_HALF,)))
-        z = jnp.zeros(samples, jnp.float32)
-        rev = CF(z.at[: 2 * SLICE_HALF].set(sl.re),
-                 z.at[: 2 * SLICE_HALF].set(sl.im))
-        td = ifft_cf(rev)
-        feed_re = td.re.astype(jnp.float32)
-        return CF(feed_re, feed_re)
-
-    return jax.vmap(emit1)(spec, centres)
+    n_rows = samples // 128
+    out_len = 2 * SLICE_HALF
+    rows_out = -(-out_len // 128) + 1           # +1 row of roll spill
+    start = jnp.clip(centres - SLICE_HALF, 0, samples - out_len)
+    q = start // 128
+    rr = start % 128
+    i = jnp.arange(rows_out, dtype=jnp.int32)
+    j = jnp.arange(n_rows, dtype=jnp.int32)
+    onehot = (j[None, None, :] == (q[:, None] + i[None, :])[:, :, None]
+              ).astype(jnp.float32)             # [nb, rows_out, n_rows]
+    s2r = spec.re.reshape(-1, n_rows, 128)
+    s2i = spec.im.reshape(-1, n_rows, 128)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    hp = lax.Precision.HIGHEST
+    sel_r = lax.dot_general(onehot, s2r, dn, precision=hp)
+    sel_i = lax.dot_general(onehot, s2i, dn, precision=hp)
+    fr = sel_r.reshape(-1, rows_out * 128)
+    fi = sel_i.reshape(-1, rows_out * 128)
+    for k in range(7):                          # fine roll left by rr
+        s = 1 << k
+        on = ((rr >> k) & 1 == 1)[:, None]
+        fr = jnp.where(on, jnp.concatenate([fr[:, s:], fr[:, :s]], axis=1),
+                       fr)
+        fi = jnp.where(on, jnp.concatenate([fi[:, s:], fi[:, :s]], axis=1),
+                       fi)
+    sr = fr[:, :out_len]
+    si = fi[:, :out_len]
+    idr, idi = _idft_slice_mats(samples)
+    feed_re = (jnp.dot(sr, jnp.asarray(idr), precision=hp)
+               - jnp.dot(si, jnp.asarray(idi), precision=hp))
+    return CF(feed_re, feed_re)
 
 
 @jax.jit
