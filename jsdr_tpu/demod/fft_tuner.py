@@ -81,16 +81,25 @@ def tuner_precompute(iq_blocks: CF, track_high):
     end = jnp.where(th, samples // 2, samples // 4)
     zero = jnp.zeros(psd.shape[:-1] + (1,), psd.dtype)
     csum = jnp.cumsum(jnp.concatenate([zero, psd], axis=-1), axis=-1)
-    i_all = jnp.arange(samples // 2)
-    hi = jnp.clip(i_all + BOX_HALF, 0, samples // 2)
-    lo = jnp.clip(i_all - BOX_HALF, 0, samples // 2)
-    ave = jnp.take(csum, hi, axis=-1) - jnp.take(csum, lo, axis=-1)
+    # csum[clip(i +- BOX_HALF, 0, n/2)] is a SHIFT with clamped edges —
+    # pure slices + edge broadcasts, no gather (TPU gathers measured
+    # slow throughout round 5; values identical to jnp.take)
+    half = samples // 2
+    hi_v = jnp.concatenate(
+        [csum[..., BOX_HALF:],
+         jnp.broadcast_to(csum[..., -1:],
+                          (*csum.shape[:-1], BOX_HALF - 1))], axis=-1)
+    lo_v = jnp.concatenate(
+        [jnp.broadcast_to(csum[..., :1],
+                          (*csum.shape[:-1], BOX_HALF)),
+         csum[..., : half - BOX_HALF]], axis=-1)
+    ave = hi_v - lo_v
+    i_all = jnp.arange(half)
     in_range = ((i_all >= (beg + EDGE)[..., None])
                 & (i_all < (end - EDGE)[..., None]))
     masked = jnp.where(in_range, ave, -jnp.inf)
     bin_pos = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-    max_bin = jnp.take_along_axis(masked, bin_pos[..., None],
-                                  axis=-1)[..., 0]
+    max_bin = jnp.max(masked, axis=-1)    # == masked[argmax], gather-free
     return spec, ave, bin_pos, max_bin, end
 
 
