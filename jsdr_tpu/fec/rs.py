@@ -33,13 +33,32 @@ from .tables import A0, ALPHA_TO, FCR, INDEX_OF, IPRIM, NN, NROOTS, PRIM
 _ALPHA_NP = np.asarray(ALPHA_TO, dtype=np.int32)   # [256], entry 255 unused->0
 _INDEX_NP = np.asarray(INDEX_OF, dtype=np.int32)   # [256], log(0) = A0
 
+# 256-entry lookups as [16]x[16] nibble bilinear forms (one-hot(hi) @
+# TABLE + a 16-lane masked reduce) instead of dynamic gathers — TPU
+# gathers dominated the whole FEC profile in round 5 (PERF.md). Every
+# entry of both tables is an 8-bit value (<= 255), so a DEFAULT
+# single-bf16-pass dot is EXACT (unlike METTAB in viterbi.py, whose
+# 9-significant-bit entries force HIGHEST there); an exhaustive
+# all-256-inputs test pins this.
+_ALPHA_SQ = _ALPHA_NP.reshape(16, 16).astype(np.float32)
+_INDEX_SQ = _INDEX_NP.reshape(16, 16).astype(np.float32)
+
+
+def _lookup256(table_sq: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    oh_hi = (((x >> 4) & 15)[..., None] == jnp.arange(16)
+             ).astype(jnp.float32)
+    rows = jnp.dot(oh_hi, jnp.asarray(table_sq),
+                   preferred_element_type=jnp.float32)
+    oh_lo = (x & 15)[..., None] == jnp.arange(16)
+    return jnp.sum(jnp.where(oh_lo, rows, 0.0), axis=-1).astype(jnp.int32)
+
 
 def _alpha(i):
-    return jnp.asarray(_ALPHA_NP)[i]
+    return _lookup256(_ALPHA_SQ, i)
 
 
 def _index(i):
-    return jnp.asarray(_INDEX_NP)[i]
+    return _lookup256(_INDEX_SQ, i)
 
 # Syndrome power matrix: P[i, j] = ((FCR+i)*PRIM * (NN-1-j)) % 255 so that
 # s_i = XOR_j gfmul(data[j], alpha^P[i,j])  (Horner form at FECDecoder.java:336-347)

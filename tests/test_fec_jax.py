@@ -65,6 +65,16 @@ def test_branch_metrics_exhaustive_all_symbols():
     assert np.array_equal(got, want)
 
 
+def test_rs_nibble_lookups_exhaustive():
+    """The GF log/antilog 256-entry lookups run as nibble-bilinear MXU
+    forms (rs._lookup256); every input value 0..255 must map exactly
+    (all table entries are 8-bit, so the single-bf16-pass dot is exact
+    — this test pins that reasoning)."""
+    x = jnp.arange(256, dtype=jnp.int32)
+    assert np.array_equal(np.asarray(jrs._alpha(x)), jrs._ALPHA_NP)
+    assert np.array_equal(np.asarray(jrs._index(x)), jrs._INDEX_NP)
+
+
 def test_jax_rs_matches_numpy(rng):
     payload = rng.integers(0, 256, 256, dtype=np.uint8)
     cw = ref.descramble_demux(ref.viterbi27(
