@@ -72,7 +72,7 @@ def spectrum_block(iq, rate: float, window: bool = True) -> SpectrumResult:
     spec = fft_cf(x)
     psd = psd_dbfs(spec)
     p = jnp.argmax(psd, axis=-1)
-    peak_db = jnp.take_along_axis(psd, p[..., None], axis=-1)[..., 0]
+    peak_db = jnp.max(psd, axis=-1)     # == psd[argmax], gather-free
     signed = jnp.where(p < n // 2, p, p - n)
     # integer truncation parity with fft.java:215-220 (int arithmetic)
     peak_freq = bin_to_hz(signed, int(rate), n)
