@@ -73,15 +73,26 @@ def branch_metrics(symbols: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([a0 + b0, a0 + b1, a1 + b0, a1 + b1], axis=-1)
 
 
+# Static 0/1 masks replacing the per-step met_t[_SYM_A/_SYM_B] gathers
+# (a 4-entry-table gather inside every scan step — the same TPU-gather
+# tax as everywhere else in this module): b = sum_k mask_k * met_t[k]
+# with met_t[k] a STATIC scalar slice, exact integer arithmetic.
+_SA_MASK = np.stack([( _SYM_A == k) for k in range(4)]).astype(np.int32)
+_SB_MASK = np.stack([( _SYM_B == k) for k in range(4)]).astype(np.int32)
+
+
 def _acs_scan(mets: jnp.ndarray) -> jnp.ndarray:
     """Run the forward add-compare-select over all bit steps.
 
     mets: [NBITS, 4]. Returns decisions [NBITS, 64] bool.
     """
+    sa = jnp.asarray(_SA_MASK)
+    sb = jnp.asarray(_SB_MASK)
 
     def step(cmetric, met_t):
-        b1 = met_t[_SYM_A]            # [32] branch metric, shift-in-0 symbol
-        b2 = met_t[_SYM_B]            # [32] branch metric, shift-in-1 symbol
+        m = [met_t[..., k, None] for k in range(4)]   # static slices
+        b1 = sum(sa[k] * m[k] for k in range(4))      # [32] shift-in-0
+        b2 = sum(sb[k] * m[k] for k in range(4))      # [32] shift-in-1
         lo = cmetric[:32]
         hi = cmetric[32:]
         even_a = lo + b1
