@@ -107,3 +107,29 @@ def test_fft_tune_full_chain_decodes(rng):
                 for i in range(nh))
     assert good == 1
     assert int(st.fft_tuner.centre_bin) == pytest.approx(1310, abs=15)
+
+
+def test_fft_tune_full_chain_decodes_192k(rng):
+    """The auto-tune front end at the FCD V2 rate (192 kS/s, m=20,
+    19200-sample FFT blocks — the other tuner geometry: same 10 Hz bin
+    spacing, twice the block length and decimation)."""
+    payloads = rng.integers(0, 256, (1, 256), dtype=np.uint8)
+    sig = synth_bpsk_stream(payloads, rate=192000, carrier_offset=11900.0,
+                            preamble_bits=400, seed=3)
+    block = 192000
+    sig = np.concatenate([sig, np.zeros((-len(sig)) % block, np.complex64)])
+    cfg = BpskConfig(rate=192000, dofft=True)
+    st = bpsk_init(cfg)
+    good = 0
+    for b in range(len(sig) // block):
+        out, st = bpsk_block(jnp.asarray(sig[b * block:(b + 1) * block]),
+                             cfg, st)
+        nh = int(out.n_hits)
+        if nh:
+            res = fec_decode(out.windows[:nh])
+            good += sum(
+                bool(res.ok[i]) and np.array_equal(
+                    np.asarray(res.payload[i]), payloads[0])
+                for i in range(nh))
+    assert good == 1
+    assert int(st.fft_tuner.centre_bin) == pytest.approx(1310, abs=15)
