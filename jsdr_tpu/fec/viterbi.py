@@ -108,7 +108,10 @@ def _acs_scan(mets: jnp.ndarray) -> jnp.ndarray:
         return nmetric, decisions
 
     init = jnp.full((_N_STATES,), _INIT_METRIC, dtype=jnp.int32).at[0].set(0)
-    _, decisions = lax.scan(step, init, mets)
+    # unroll: with the gathers gone the scan-step overhead shows —
+    # round 5 measured to-bits 8.0 -> 6.9 ms at batch 256 with unroll=8
+    # (the same sweep was a no-op while gathers dominated)
+    _, decisions = lax.scan(step, init, mets, unroll=8)
     return decisions
 
 
@@ -133,7 +136,8 @@ def _traceback(decisions: jnp.ndarray) -> jnp.ndarray:
                                              jnp.int32(0))
         return new_state, dec.astype(jnp.uint8)
 
-    _, bits_rev = lax.scan(step, jnp.int32(0), decisions[K_FLUSH:], reverse=True)
+    _, bits_rev = lax.scan(step, jnp.int32(0), decisions[K_FLUSH:],
+                           reverse=True, unroll=8)
     return bits_rev
 
 
