@@ -82,9 +82,11 @@ def bench_fec(log):
     from jsdr_tpu.fec.ref_numpy import encode_fec40, symbols_to_soft
 
     rng = np.random.default_rng(1)
-    for batch in (64, 256):
-        payloads = rng.integers(0, 256, (batch, 256), dtype=np.uint8)
-        raws = np.stack([symbols_to_soft(encode_fec40(p)) for p in payloads])
+    base_payloads = rng.integers(0, 256, (64, 256), dtype=np.uint8)
+    base = np.stack([symbols_to_soft(encode_fec40(p))
+                     for p in base_payloads])
+    for batch in (64, 256, 1024):
+        raws = np.tile(base, (batch // 64, 1))
         for r in raws:   # ~2.3% channel symbol errors: real ACS/BM work
             r[rng.choice(5200, 120, replace=False)] ^= 0x80
         x = jax.device_put(jnp.asarray(raws, dtype=jnp.uint8))
