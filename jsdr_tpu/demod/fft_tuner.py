@@ -124,7 +124,9 @@ def tuner_recurrence(state: FftTunerState, ave, bin_pos, max_bin, end
                            centre2)
         return ns, centre2
 
-    return lax.scan(step, state, (ave, bin_pos, max_bin))
+    # unroll: tiny per-step work, scan overhead dominates (the round-5
+    # FEC lesson); values unchanged
+    return lax.scan(step, state, (ave, bin_pos, max_bin), unroll=8)
 
 
 @functools.lru_cache(maxsize=8)
