@@ -294,10 +294,24 @@ def cmd_telemetry_stream(args):
     session = Session(source=chunks, block_samples=block_samples,
                       i_corr=args.icorr, q_corr=args.qcorr)
     session.pubsub.listen(on_frame)
+    if getattr(args, "checkpoint", None):
+        from pathlib import Path
+        session.checkpoint_path = Path(args.checkpoint)
+        session.checkpoint_meta = {"rate": int(rate),
+                                   "n_demods": len(tunings),
+                                   "mesh": None if mesh is None else
+                                   [int(mesh.shape["dp"]),
+                                    int(mesh.shape["sp"])]}
+        if args.resume and session.checkpoint_path.exists():
+            session.load_checkpoint([stage])
+            print(f"resumed stream state from {args.checkpoint}")
     if mesh is not None:
         print(f"mesh dp={mesh.shape['dp']} x sp={mesh.shape['sp']} over "
               f"{mesh.size} devices; block={block_samples} samples")
     n = session.run([stage], max_blocks=args.blocks)
+    if getattr(args, "checkpoint", None):
+        session.save_checkpoint([stage])
+        print(f"stream state -> {args.checkpoint}")
     print(f"{n} blocks streamed, frames={frames[0]}, "
           f"dropped={session.dropped_blocks or 'none'}")
     return 0

@@ -28,17 +28,27 @@ def test_cli_synth_and_telemetry(fixture_file, capsys, tmp_path):
     assert "resumed stream state" in capsys.readouterr().out
 
 
-def test_cli_telemetry_mesh(fixture_file, capsys):
+def test_cli_telemetry_mesh(fixture_file, capsys, tmp_path):
     """The production shell reaches the multi-chip path (VERDICT r4 #1):
     `telemetry --mesh 2x4` decodes the fixture end-to-end on the
     8-virtual-device harness through the Session executor +
-    sharded_telemetry_step (instances over dp, time over sp)."""
+    sharded_telemetry_step (instances over dp, time over sp), and the
+    meshed SESSION checkpoints/resumes its sharded stream state."""
+    ck = str(tmp_path / "mesh_st.npz")
     main(["--cpu", "--rate", "96000", "telemetry", f"file:{fixture_file}",
-          "--mesh", "2x4", "--blocks", "10", "--loop"])
+          "--mesh", "2x4", "--blocks", "10", "--loop",
+          "--checkpoint", ck])
     out = capsys.readouterr().out
     assert "mesh dp=2 x sp=4" in out
     assert "frames=2" in out
     assert "channel_errors=0" in out
+    assert "stream state ->" in out
+    # resume the meshed session from the sharded-state checkpoint
+    main(["--cpu", "--rate", "96000", "telemetry", f"file:{fixture_file}",
+          "--mesh", "2x4", "--blocks", "2", "--loop",
+          "--checkpoint", ck, "--resume"])
+    out = capsys.readouterr().out
+    assert "resumed stream state" in out
 
 
 def test_cli_telemetry_mesh_dofft(fixture_file, capsys):
